@@ -1,0 +1,286 @@
+"""Line-by-line extinction: tiled Voigt cross-section synthesis.
+
+TPU-native replacement for the reference's extinction.c/opacity.c
+(reference: SURVEY.md section 2.2): instead of tabulating Voigt
+profiles on a wnosamp-oversampled grid and accumulating per line on
+the CPU, we bucket lines onto wavenumber tiles (host, once) and
+evaluate the Voigt function *directly* for every (condition, line,
+gridpoint) triple on the TPU — dense, static-shaped, VPU-saturating.
+
+Pipeline:
+
+1. ``tile_lines``          host: bucket a LineList onto tiles of the
+                           output wn grid with a wing-reach cutoff,
+                           padded to a static per-tile line count.
+2. ``cross_section_grid``  device: sigma[cond, nwave] cm^2/molecule
+                           for a batch of (T, p) conditions.
+
+Line strength follows the HITRAN convention:
+
+  S(T) = S296 * Q(296)/Q(T) * exp(-c2 E''/T)/exp(-c2 E''/296)
+               * (1-exp(-c2 wn0/T))/(1-exp(-c2 wn0/296))
+
+Broadening modes:
+
+* ``collision``: Lorentz HWHM from collision theory against an H2/He
+  bath (reference parity: scripts/broadening.py:91-127), line-independent
+  per condition.
+* ``air``: HITRAN gamma_air*(p/1atm)*(296/T)^n_air per line.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bart_tpu import constants as const
+from bart_tpu.linelist.hitran import TREF, LineList
+from bart_tpu.linelist.molecules import get_molecule
+from bart_tpu.linelist.tips import partition_function
+from bart_tpu.physics.voigt import faddeeva_real
+
+__all__ = [
+    "LineTiles",
+    "BroadeningSpec",
+    "tile_lines",
+    "cross_section_grid",
+    "wing_cutoff",
+]
+
+_SQRT_2LN2 = float(np.sqrt(2.0 * np.log(2.0)))
+_INV_SQRT_PI = float(1.0 / np.sqrt(np.pi))
+_ATM_BARYE = 1.01325e6  # 1 atm in barye
+
+
+@dataclasses.dataclass(frozen=True)
+class BroadeningSpec:
+    """Lorentz-broadening configuration.
+
+    mode='collision' reproduces the reference's H2/He collision-theory
+    widths with the *baseline* atmosphere's H2/He mixing ratios (the
+    reference builds its opacity grid from the initial atm file;
+    SURVEY.md section 2.2).  mode='air' uses HITRAN air widths.
+    """
+
+    mode: str = "collision"          # 'collision' | 'air'
+    q_h2: float = 0.85
+    q_he: float = 0.15
+
+    def gamma_lorentz(self, lines: "LineTiles", mass_g: float, diam_cm: float,
+                      T, p_barye):
+        """Lorentz HWHM [cm-1]; T,p arrays broadcast against line axes."""
+        if self.mode == "collision":
+            h2 = get_molecule("H2")
+            he = get_molecule("He")
+            coll = (
+                self.q_h2
+                * ((diam_cm + h2.diameter * 1e-8) * 0.5) ** 2
+                * np.sqrt(1.0 / mass_g + 1.0 / (h2.mass * const.AMU))
+                + self.q_he
+                * ((diam_cm + he.diameter * 1e-8) * 0.5) ** 2
+                * np.sqrt(1.0 / mass_g + 1.0 / (he.mass * const.AMU))
+            )
+            gamma = (
+                np.sqrt(2.0)
+                / const.C_LIGHT
+                / jnp.sqrt(T * np.pi * const.K_BOLTZ)
+                * p_barye
+                * coll
+            )
+            return gamma[..., None, None]  # broadcast over (tile, line)
+        elif self.mode == "air":
+            p_atm = p_barye / _ATM_BARYE
+            return (
+                lines.gamma_air[None, ...]
+                * p_atm[..., None, None]
+                * (TREF / T)[..., None, None] ** lines.n_air[None, ...]
+            )
+        raise ValueError(f"unknown broadening mode {self.mode!r}")
+
+
+@dataclasses.dataclass
+class LineTiles:
+    """Lines bucketed per output-grid tile (static shapes).
+
+    Arrays are [n_tiles, max_lines_per_tile]; ``weight`` is 0 for
+    padding slots.  ``wn_tiles`` is the output grid reshaped to
+    [n_tiles, tile_size] (padded with the last grid value).
+    """
+
+    species: str
+    wn_tiles: jax.Array    # [nt, W]
+    grid_mask: jax.Array   # [nt, W] bool, False on grid padding
+    wn0: jax.Array         # [nt, L]
+    s296: jax.Array        # [nt, L]
+    elower: jax.Array      # [nt, L]
+    gamma_air: jax.Array   # [nt, L]
+    n_air: jax.Array       # [nt, L]
+    weight: jax.Array      # [nt, L] 1/0 padding mask
+    cutoff: float          # wing reach used for bucketing [cm-1]
+    n_grid: int            # original grid length
+
+    @property
+    def shape(self):
+        return (self.wn0.shape[0], self.wn0.shape[1], self.wn_tiles.shape[1])
+
+
+def wing_cutoff(
+    nwidth: float,
+    wn_max: float,
+    t_min: float,
+    p_max_barye: float,
+    mass_g: float,
+    diam_cm: float,
+    spec: BroadeningSpec,
+    cutoff_max: float = 25.0,
+) -> float:
+    """Maximum line-wing reach [cm-1]: nwidth x the largest HWHM over
+    the (T, p) domain, clamped to ``cutoff_max`` (HITRAN-standard 25
+    cm-1 far-wing truncation).  The reference's reach is
+    nwidth*max(HWHM) with no clamp (voigt.c semantics)."""
+    # Doppler largest at wn_max and high T — but Lorentz dominates the
+    # max at p_max, t_min:
+    from bart_tpu.physics.voigt import doppler_hwhm, lorentz_hwhm_collision
+
+    h2 = get_molecule("H2")
+    he = get_molecule("He")
+    gl = float(
+        lorentz_hwhm_collision(
+            p_max_barye, t_min, mass_g, diam_cm,
+            np.array([spec.q_h2, spec.q_he]),
+            np.array([h2.mass, he.mass]) * const.AMU,
+            np.array([h2.diameter, he.diameter]) * 1e-8,
+        )
+    )
+    gd = float(doppler_hwhm(wn_max, 4000.0, mass_g))
+    return float(min(nwidth * max(gl, gd), cutoff_max))
+
+
+def tile_lines(
+    lines: LineList,
+    wn_grid: np.ndarray,
+    cutoff: float,
+    tile_size: int = 256,
+    pad_lines_to: int = 128,
+) -> LineTiles:
+    """Bucket lines onto wn-grid tiles (host-side, runs once).
+
+    Each tile of ``tile_size`` grid points receives every line whose
+    center lies within ``cutoff`` of the tile's span.  Per-tile counts
+    are padded up to a common multiple of ``pad_lines_to``.
+    """
+    wn_grid = np.asarray(wn_grid, np.float64)
+    n = len(wn_grid)
+    nt = -(-n // tile_size)
+    npad = nt * tile_size - n
+    wn_padded = np.concatenate([wn_grid, np.full(npad, wn_grid[-1])])
+    grid_mask = np.concatenate([np.ones(n, bool), np.zeros(npad, bool)])
+    wn_tiles = wn_padded.reshape(nt, tile_size)
+    grid_mask = grid_mask.reshape(nt, tile_size)
+
+    lo = np.searchsorted(lines.wn0, wn_tiles[:, 0] - cutoff)
+    hi = np.searchsorted(lines.wn0, wn_tiles[:, -1] + cutoff)
+    counts = hi - lo
+    max_l = int(counts.max()) if nt else 0
+    max_l = max(pad_lines_to, -(-max_l // pad_lines_to) * pad_lines_to)
+
+    idx = lo[:, None] + np.arange(max_l)[None, :]
+    weight = (idx < hi[:, None]).astype(np.float64)
+    idx = np.clip(idx, 0, max(lines.nlines - 1, 0))
+
+    if lines.nlines == 0:
+        z = np.zeros((nt, max_l))
+        return LineTiles(
+            lines.species, jnp.asarray(wn_tiles), jnp.asarray(grid_mask),
+            jnp.asarray(z), jnp.asarray(z), jnp.asarray(z), jnp.asarray(z),
+            jnp.asarray(z), jnp.asarray(z), cutoff, n,
+        )
+
+    return LineTiles(
+        species=lines.species,
+        wn_tiles=jnp.asarray(wn_tiles),
+        grid_mask=jnp.asarray(grid_mask),
+        wn0=jnp.asarray(lines.wn0[idx]),
+        s296=jnp.asarray(lines.s296[idx]),
+        elower=jnp.asarray(lines.elower[idx]),
+        gamma_air=jnp.asarray(lines.gamma_air[idx]),
+        n_air=jnp.asarray(lines.n_air[idx]),
+        weight=jnp.asarray(weight),
+        cutoff=cutoff,
+        n_grid=n,
+    )
+
+
+def _line_strength(tiles: LineTiles, T, q_fn: Callable):
+    """S(T) per line [cond..., nt, L] (HITRAN convention)."""
+    c2 = const.C2
+    Tb = T[..., None, None]
+    qr = (q_fn(jnp.asarray(TREF)) / q_fn(T))[..., None, None]
+    boltz = jnp.exp(-c2 * tiles.elower * (1.0 / Tb - 1.0 / TREF))
+    # Padding slots have wn0=0 -> 0/0 in the stimulated-emission factor;
+    # substitute a safe center (their weight is 0 anyway).
+    wn0 = jnp.where(tiles.weight > 0, tiles.wn0, 1000.0)
+    stim = (1.0 - jnp.exp(-c2 * wn0 / Tb)) / (1.0 - jnp.exp(-c2 * wn0 / TREF))
+    return tiles.s296 * qr * boltz * stim * tiles.weight
+
+
+def cross_section_grid(
+    tiles: LineTiles,
+    T: jax.Array,
+    p_barye: jax.Array,
+    spec: BroadeningSpec,
+    nwidth: float = 0.0,
+    q_table=None,
+    batch_tiles: int = 0,
+) -> jax.Array:
+    """Cross-section sigma[cond, n_grid] in cm^2/molecule.
+
+    ``T``/``p_barye`` are 1-D condition batches (e.g. layers, or a
+    flattened (T_grid x p_grid) for table builds).  ``nwidth`` > 0
+    applies the reference's per-line profile truncation at
+    nwidth*max(doppler, lorentz) HWHM (voigt.c semantics); 0 keeps
+    full wings out to the bucketing cutoff.
+    """
+    mol = get_molecule(tiles.species)
+    mass_g = mol.mass * const.AMU
+    diam_cm = mol.diameter * 1e-8
+    q_fn = partition_function(tiles.species, q_table)
+
+    def per_cond(T_c, p_c):
+        # [nt, L] line quantities
+        s = _line_strength(tiles, T_c, q_fn)
+        gd = (
+            tiles.wn0
+            / const.C_LIGHT
+            * jnp.sqrt(2.0 * np.log(2.0) * const.K_BOLTZ * T_c / mass_g)
+        )  # Doppler HWHM
+        # Padding slots have wn0=0 -> gd=0; guard against 1/0 -> NaN
+        # (their contribution is zeroed by `weight` below).
+        sigma_g = jnp.where(tiles.weight > 0, gd, 1.0) / _SQRT_2LN2
+        gl = spec.gamma_lorentz(tiles, mass_g, diam_cm, T_c, p_c)[0]
+        gl = jnp.broadcast_to(gl, tiles.wn0.shape)
+
+        inv = 1.0 / (sigma_g * jnp.sqrt(2.0))
+        y = gl * inv  # [nt, L]
+
+        # [nt, L, W] offsets
+        dx = tiles.wn_tiles[:, None, :] - tiles.wn0[:, :, None]
+        x = dx * inv[:, :, None]
+        prof = faddeeva_real(x, y[:, :, None]) * (inv * _INV_SQRT_PI)[:, :, None]
+
+        w = tiles.weight
+        if nwidth > 0:
+            reach = nwidth * jnp.maximum(gd, gl)
+            prof = prof * (jnp.abs(dx) <= reach[:, :, None])
+        contrib = (s * w)[:, :, None] * prof
+        return jnp.sum(contrib, axis=1)  # [nt, W]
+
+    sig_tiles = jax.vmap(per_cond)(T, p_barye)  # [cond, nt, W]
+    ncond = T.shape[0]
+    return sig_tiles.reshape(ncond, -1)[:, : tiles.n_grid]

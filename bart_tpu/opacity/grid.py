@@ -1,0 +1,165 @@
+"""Opacity grid: precomputed cross-section table + runtime T-interpolation.
+
+Equivalent of the reference's opacity-table machinery (transit
+``--justOpacity`` build; extinction.c runtime interpolation; SURVEY.md
+sections 2.2/3.3): a 4-D table sigma[mol, T, layer, wn] in
+cm^2/molecule built once offline, then interpolated at the per-layer
+sampled temperatures inside the MCMC hot loop.
+
+The reference shares the table across MPI workers via POSIX SHM
+(shareOpacity); here the table is a device array — under multi-chip
+sharding it is sharded along the wavenumber axis (bart_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bart_tpu.linelist.hitran import LineList
+from bart_tpu.opacity.extinction import (
+    BroadeningSpec,
+    cross_section_grid,
+    tile_lines,
+    wing_cutoff,
+)
+
+__all__ = ["OpacityGrid", "build_opacity_grid", "interp_opacity", "save_grid", "load_grid"]
+
+
+@dataclasses.dataclass
+class OpacityGrid:
+    """sigma[mol, nT, nlayer, nwave] in cm^2/molecule (f32 on device)."""
+
+    species: list[str]
+    t_grid: np.ndarray       # [nT], uniform ascending
+    pressure: np.ndarray     # [nlayer] in bar, ascending (top-first)
+    wn_grid: np.ndarray      # [nwave] cm-1, ascending
+    sigma: jax.Array         # [nmol, nT, nlayer, nwave]
+
+    @property
+    def t_min(self) -> float:
+        return float(self.t_grid[0])
+
+    @property
+    def t_step(self) -> float:
+        return float(self.t_grid[1] - self.t_grid[0])
+
+
+def build_opacity_grid(
+    lines_by_species: dict[str, LineList],
+    wn_grid: np.ndarray,
+    t_grid: np.ndarray,
+    pressure_bar: np.ndarray,
+    spec: BroadeningSpec | None = None,
+    nwidth: float = 20.0,
+    ethresh: float = 0.0,
+    tile_size: int = 256,
+    cond_batch: int = 32,
+    dtype=jnp.float32,
+    q_tables: dict | None = None,
+) -> OpacityGrid:
+    """Build the opacity table (the --justOpacity stage,
+    reference BART.py:560-569 / SURVEY.md 3.3).
+
+    Conditions (T x layer) are flattened and processed in batches of
+    ``cond_batch`` through the tiled cross-section kernel.
+    ``ethresh`` culls lines below that fraction of the strongest line
+    (reference ethresh semantics).
+    """
+    from bart_tpu import constants as const
+    from bart_tpu.linelist.molecules import get_molecule
+
+    spec = spec or BroadeningSpec()
+    t_grid = np.asarray(t_grid, np.float64)
+    pressure_bar = np.asarray(pressure_bar, np.float64)
+    nT, nP, nW = len(t_grid), len(pressure_bar), len(wn_grid)
+
+    TT, PP = np.meshgrid(t_grid, pressure_bar, indexing="ij")
+    conds_T = TT.ravel()
+    conds_p = PP.ravel() * const.BAR_TO_BARYE
+    ncond = conds_T.size
+
+    species = list(lines_by_species)
+    sigma = np.zeros((len(species), ncond, nW), np.float32)
+
+    for im, name in enumerate(species):
+        ll = lines_by_species[name]
+        if ethresh > 0:
+            ll = ll.cull(ethresh)
+        mol = get_molecule(name)
+        cutoff = wing_cutoff(
+            nwidth, float(wn_grid[-1]), float(t_grid[0]),
+            float(pressure_bar[-1]) * const.BAR_TO_BARYE,
+            mol.mass * const.AMU, mol.diameter * 1e-8, spec,
+        )
+        tiles = tile_lines(ll, wn_grid, cutoff, tile_size=tile_size)
+        q_table = (q_tables or {}).get(name)
+
+        fn = jax.jit(
+            lambda T, p, tiles=tiles, q_table=q_table: cross_section_grid(
+                tiles, T, p, spec, nwidth=nwidth, q_table=q_table
+            ).astype(dtype)
+        )
+        for start in range(0, ncond, cond_batch):
+            end = min(start + cond_batch, ncond)
+            # pad the last batch to keep one compiled shape
+            tb = np.full(cond_batch, conds_T[start])
+            pb = np.full(cond_batch, conds_p[start])
+            tb[: end - start] = conds_T[start:end]
+            pb[: end - start] = conds_p[start:end]
+            out = np.asarray(fn(jnp.asarray(tb), jnp.asarray(pb)))
+            sigma[im, start:end] = out[: end - start]
+
+    return OpacityGrid(
+        species=species,
+        t_grid=t_grid,
+        pressure=pressure_bar,
+        wn_grid=np.asarray(wn_grid, np.float64),
+        sigma=jnp.asarray(sigma.reshape(len(species), nT, nP, nW)),
+    )
+
+
+def interp_opacity(grid_sigma: jax.Array, t_grid_min: float, t_grid_step: float,
+                   n_t: int, T_layers: jax.Array) -> jax.Array:
+    """Runtime path (hot loop): interpolate sigma[mol, nT, nlayer, nwave]
+    in T at per-layer temperatures -> sigma[mol, nlayer, nwave].
+
+    Linear interpolation on the uniform T grid — the extinction.c
+    equivalent step of run_transit (reference SURVEY.md 3.2).  Fully
+    vectorized: one gather + lerp, jit/vmap-safe.
+    """
+    x = (T_layers - t_grid_min) / t_grid_step
+    i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n_t - 2)
+    f = jnp.clip(x - i0, 0.0, 1.0).astype(grid_sigma.dtype)
+    nlayer = T_layers.shape[0]
+    lay = jnp.arange(nlayer)
+    lo = grid_sigma[:, i0, lay, :]      # [mol, nlayer, nwave]
+    hi = grid_sigma[:, i0 + 1, lay, :]
+    return lo * (1.0 - f)[None, :, None] + hi * f[None, :, None]
+
+
+def save_grid(grid: OpacityGrid, path: str) -> None:
+    np.savez_compressed(
+        path,
+        species=np.asarray(grid.species),
+        t_grid=grid.t_grid,
+        pressure=grid.pressure,
+        wn_grid=grid.wn_grid,
+        sigma=np.asarray(grid.sigma),
+    )
+
+
+def load_grid(path: str) -> OpacityGrid:
+    z = np.load(path)
+    return OpacityGrid(
+        species=[str(s) for s in z["species"]],
+        t_grid=z["t_grid"],
+        pressure=z["pressure"],
+        wn_grid=z["wn_grid"],
+        sigma=jnp.asarray(z["sigma"]),
+    )
