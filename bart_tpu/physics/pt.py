@@ -127,10 +127,45 @@ def pt_no_inversion(p: jax.Array, a1, a2, p1, p3, T3, smooth: bool = True):
     return T, valid
 
 
+_EULER_GAMMA = 0.5772156649015329
+
+
+def _exp1(x):
+    """Exponential integral E1(x), x > 0, branch-free fixed-work.
+
+    jax.scipy.special.exp1 is pathologically slow on some backends
+    (~800 ms for a 40-element f64 array on CPU), so we evaluate it
+    directly: power series  -gamma - ln x + sum (-1)^{k+1} x^k/(k k!)
+    for x <= 1 (24 terms, ~1e-16), and the Lentz continued fraction
+    exp(-x)/(x+1/(1+1/(x+2/(1+2/...)))) evaluated bottom-up at fixed
+    depth for x > 1.  Both branches are computed and selected with
+    `where` — cheap, vectorized, differentiable.
+    """
+    xs = jnp.where(x > 0, x, 1.0)
+
+    # --- series branch (x <= 1) ---
+    xc = jnp.minimum(xs, 1.0)
+    term = jnp.ones_like(xc)
+    acc = jnp.zeros_like(xc)
+    for k in range(1, 25):
+        term = term * xc / k
+        acc = acc + (term / k if k % 2 == 1 else -term / k)
+    series = -_EULER_GAMMA - jnp.log(xc) + acc
+
+    # --- continued-fraction branch (x > 1), bottom-up fixed depth ---
+    xf = jnp.maximum(xs, 1.0)
+    cf = jnp.zeros_like(xf)
+    for k in range(30, 0, -1):
+        cf = k / (1.0 + k / (xf + cf))
+    frac = jnp.exp(-xf) / (xf + cf)
+
+    return jnp.where(x <= 1.0, series, frac)
+
+
 def _expn2(x):
     """Exponential integral E2(x) = exp(-x) - x*E1(x), E2(0)=1."""
     safe = jnp.where(x > 0, x, 1.0)
-    e2 = jnp.exp(-safe) - safe * jax.scipy.special.exp1(safe)
+    e2 = jnp.exp(-safe) - safe * _exp1(safe)
     return jnp.where(x > 0, e2, 1.0)
 
 

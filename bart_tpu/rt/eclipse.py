@@ -1,0 +1,79 @@
+"""Eclipse (dayside emission) spectrum synthesis.
+
+Equivalent of the reference's eclipse.c (reference: SURVEY.md section
+2.2): emergent intensity along a set of ray angles from the
+Planck-weighted optical-depth integral, then flux as the quadrature
+F = 2 pi int I(mu) mu dmu over the ``raygrid`` angles.
+
+Formulation (per wn, per mu): the emergent intensity of a
+plane-parallel, non-scattering atmosphere
+
+    I(mu) = sum_layers B(T_l) e^{-tau_l/mu} dtau_l/mu
+            + B(T_bot) e^{-tau_bot/mu}
+
+with the boundary term making the isothermal limit exact
+(I -> B(T), F -> pi B(T)) for any tau — the analytic check the
+reference can only approach with its `toomuch` cutoff.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bart_tpu.rt.planck import planck_wn
+from bart_tpu.rt.tau import TAU_CLAMP
+
+__all__ = ["eclipse_intensity", "eclipse_flux", "raygrid_weights"]
+
+
+def eclipse_intensity(
+    tau: jax.Array, temperature: jax.Array, wn: jax.Array, mu: jax.Array
+) -> jax.Array:
+    """Emergent intensity I[mu, wn] from tau[layer, wn] and T[layer]."""
+    tau = jnp.minimum(tau, TAU_CLAMP)
+    B = planck_wn(wn[None, :], temperature[:, None])           # [L, wn]
+    # attenuation at layer boundaries per mu: [mu, L, wn]
+    atten = jnp.exp(-tau[None, :, :] / mu[:, None, None])
+    # per-segment exact integral with B constant in the segment:
+    #   int B e^{-t/mu} dt/mu = B (e^{-tau_l/mu} - e^{-tau_{l+1}/mu})
+    # — the "emission = sum B * d(transmission)" form, robust for
+    # optically thick layers where a dtau trapezoid fails.
+    Bmid = 0.5 * (B[1:] + B[:-1])                              # [L-1, wn]
+    datten = atten[:, :-1, :] - atten[:, 1:, :]                # [mu, L-1, wn]
+    emit = jnp.einsum("mlw,lw->mw", datten, Bmid)
+    surface = B[-1][None, :] * atten[:, -1, :]
+    return emit + surface
+
+
+def raygrid_weights(angles_deg) -> tuple[np.ndarray, np.ndarray]:
+    """Quadrature (mu, w) for F = 2 pi sum w_i I(mu_i) mu_i from a grid
+    of ray angles in degrees (reference raygrid, demo '0 20 40 60 80').
+
+    Trapezoidal in mu over [0, 1]: the angle grid is augmented with the
+    mu=0 endpoint (I(mu->0) mu -> 0) so the weights integrate exactly.
+    """
+    mu = np.sort(np.cos(np.deg2rad(np.asarray(angles_deg, np.float64))))
+    # augment with the mu=0 endpoint (I(mu) mu -> 0 there), then take
+    # trapezoid weights on [0, mu_1, ..., mu_n], dropping the 0 node:
+    grid = np.concatenate([[0.0], mu])
+    tw = np.zeros(len(grid))
+    tw[0] = 0.5 * (grid[1] - grid[0])
+    tw[-1] = 0.5 * (grid[-1] - grid[-2])
+    tw[1:-1] = 0.5 * (grid[2:] - grid[:-2])
+    return mu, tw[1:]
+
+
+def eclipse_flux(
+    tau: jax.Array,
+    temperature: jax.Array,
+    wn: jax.Array,
+    mu: jax.Array,
+    weights: jax.Array,
+) -> jax.Array:
+    """Hemispheric flux F[wn] = 2 pi sum_i w_i I(mu_i) mu_i
+    [erg s-1 cm-2 / cm-1]."""
+    I = eclipse_intensity(tau, temperature, wn, mu)
+    return 2.0 * jnp.pi * jnp.einsum("m,mw->w", weights * mu, I)

@@ -1,0 +1,304 @@
+"""The forward model: parameter vector -> band fluxes, as one pure JAX fn.
+
+TPU-native inversion of the reference's process topology: where the
+reference runs one MPI process per chain calling a C library per
+proposal (reference: code/BARTfunc.py:309-399 hot loop), bart_tpu makes
+the entire likelihood forward model a pure function
+
+    bandflux, spectrum, valid = forward(params)
+
+that is jit-compiled once and vmapped over all chains on-device.
+
+Parameter layout (identical to the reference, code/BARTfunc.py:173-179):
+
+    [ PT params (nPT) | radius (transit only) | cloudtop | scattering
+      | log10 abundance factors (nmolfit) ]
+
+Rejection semantics (reference scatters -1 sentinels; here a boolean
+``valid`` that the sampler maps to loglike=-inf):
+
+    * PT model non-physical                  (BARTfunc.py:319-323)
+    * any T outside [Tmin, Tmax]             (BARTfunc.py:326-330)
+    * scaled metal abundances sum > 1        (BARTfunc.py:339-344)
+    * optional energy-balance veto e_out>e_in (BARTfunc.py:366-383)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bart_tpu import constants as const
+from bart_tpu.obs.bands import BandMatrix, band_integrate
+from bart_tpu.opacity.cia import LOSCHMIDT, CiaTable
+from bart_tpu.opacity.cloud import cloud_deck_extinction
+from bart_tpu.opacity.grid import OpacityGrid, interp_opacity
+from bart_tpu.opacity.rayleigh import rayleigh_extinction
+from bart_tpu.physics.hydro import anchor_index, radius_profile
+from bart_tpu.physics.pt import n_pt_params, pt_generator
+from bart_tpu.rt.eclipse import eclipse_flux, raygrid_weights
+from bart_tpu.rt.tau import tau_vertical
+from bart_tpu.rt.transit_geom import transit_depth
+
+__all__ = ["ForwardModel", "ForwardConfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ForwardConfig:
+    """Static configuration (fixed at trace time)."""
+
+    solution: str = "eclipse"        # 'eclipse' | 'transit' | 'direct'
+    pt_type: str = "line"
+    molfit: tuple = ()               # species whose abundances are fitted
+    tmin: float = 400.0              # reference Tmin (BARTfunc.py:67-72)
+    tmax: float = 3000.0
+    cloudtop: bool = False           # fit a cloud-deck top pressure
+    scattering: str | None = None    # None | 'ray' | 'polar'
+    ebalance: bool = False
+    refpress: float = 0.1            # p0 [bar] where R(p0)=Rp (demo cfg)
+    raygrid: tuple = (0.0, 20.0, 40.0, 60.0, 80.0)
+    tint: float = 100.0
+    tint_type: str = "const"
+
+    @property
+    def n_radfit(self) -> int:
+        return int(self.solution == "transit")
+
+    @property
+    def n_cloud(self) -> int:
+        return int(self.cloudtop)
+
+    @property
+    def n_ray(self) -> int:
+        return int(self.scattering is not None)
+
+    @property
+    def n_pt(self) -> int:
+        return n_pt_params[self.pt_type]
+
+    @property
+    def n_params(self) -> int:
+        return (
+            self.n_pt + self.n_radfit + self.n_cloud + self.n_ray + len(self.molfit)
+        )
+
+
+class ForwardModel:
+    """Builds the jitted forward function from static tables.
+
+    Equivalent of BARTfunc's initialization (reference
+    code/BARTfunc.py:134-296) done once on host: species indexing,
+    H2/He ratio, PT arguments, opacity table upload, band matrix.
+    """
+
+    def __init__(
+        self,
+        config: ForwardConfig,
+        *,
+        wn_grid: np.ndarray,
+        pressure: np.ndarray,            # [bar], top-first ascending
+        species: list[str],
+        base_abundances: np.ndarray,     # [nlayer, nspecies]
+        opacity: OpacityGrid,
+        system,                          # io.tep.PlanetSystem
+        bands: BandMatrix,
+        cia_tables: list[CiaTable] = (),
+        species_masses: np.ndarray | None = None,
+        dtype=jnp.float32,
+    ):
+        self.config = config
+        self.system = system
+        self.bands = bands
+        self.dtype = dtype
+        cfg = config
+
+        self.wn = jnp.asarray(wn_grid, dtype)
+        self.pressure = jnp.asarray(pressure, dtype)
+        self.p_barye = jnp.asarray(pressure * const.BAR_TO_BARYE, dtype)
+        self.species = list(species)
+        self.base_q = jnp.asarray(base_abundances, dtype)
+
+        # --- species indexing (reference BARTfunc.py:189-201) ---
+        sp = np.asarray(species)
+        self.i_h2 = int(np.where(sp == "H2")[0][0])
+        self.i_he = int(np.where(sp == "He")[0][0])
+        self.i_metals = np.where(
+            (sp != "He") & (sp != "H2") & (sp != "H-") & (sp != "e-")
+        )[0]
+        self.i_molfit = np.array(
+            [int(np.where(sp == m)[0][0]) for m in cfg.molfit], int
+        )
+        # per-layer H2/He ratio (reference BARTfunc.py:193-194)
+        self.h2he_ratio = jnp.asarray(
+            base_abundances[:, self.i_h2] / base_abundances[:, self.i_he], dtype
+        )
+
+        if species_masses is None:
+            from bart_tpu.linelist.molecules import get_molecule
+
+            species_masses = np.array([get_molecule(s).mass for s in species])
+        self.masses = jnp.asarray(species_masses, dtype)
+
+        # --- opacity table: map table species -> atmosphere indices ---
+        self.opacity = opacity
+        self.sigma = opacity.sigma.astype(dtype)
+        self.i_opac = np.array(
+            [int(np.where(sp == m)[0][0]) for m in opacity.species], int
+        )
+
+        # --- CIA: resolve collider indices (reference cia.c) ---
+        self.cia = []
+        for tab in cia_tables:
+            i1 = int(np.where(sp == tab.species[0])[0][0])
+            i2 = int(np.where(sp == tab.species[1])[0][0])
+            self.cia.append(
+                (
+                    i1, i2,
+                    jnp.asarray(tab.temps, dtype),
+                    jnp.asarray(tab.wn, dtype),
+                    jnp.asarray(tab.absorption, dtype),
+                )
+            )
+
+        # --- geometry setup ---
+        mu, w = raygrid_weights(cfg.raygrid)
+        self.mu = jnp.asarray(mu, dtype)
+        self.mu_w = jnp.asarray(w, dtype)
+        self.i0 = anchor_index(pressure, cfg.refpress)
+        self.r0_km = system.r_planet / 1000.0
+        self.g0_si = system.g_planet_si
+
+        # PT extra args (reference BARTfunc.py:204-210)
+        if cfg.pt_type == "line":
+            self.pt_args = [
+                system.r_star, system.t_star, cfg.tint, system.sma,
+                system.g_planet_cgs, cfg.tint_type,
+            ]
+        else:
+            self.pt_args = None
+
+        self._jitted = None
+
+    # -----------------------------------------------------------------
+    def __call__(self, params: jax.Array):
+        """forward(params[n_params]) -> (bandflux[nfilt], spectrum[nwave],
+        valid[bool]).  Pure function of params; jit/vmap/grad-safe."""
+        cfg = self.config
+        nPT = cfg.n_pt
+        dtype = self.dtype
+        if params.shape[-1] != cfg.n_params:
+            raise ValueError(
+                f"params has {params.shape[-1]} entries; config "
+                f"{cfg.solution}/{cfg.pt_type} with molfit={cfg.molfit} "
+                f"expects {cfg.n_params}"
+            )
+        params = params.astype(dtype)
+
+        # 1. temperature profile (BARTfunc.py:320-330)
+        T, pt_valid = pt_generator(
+            self.pressure, params[:nPT], cfg.pt_type, self.pt_args
+        )
+        T = T.astype(dtype)
+        valid = pt_valid & jnp.all((T >= cfg.tmin) & (T <= cfg.tmax))
+        T_safe = jnp.clip(T, cfg.tmin, cfg.tmax)
+
+        # 2. abundance scaling + H2/He renormalization (BARTfunc.py:332-347)
+        q = self.base_q
+        off = nPT + cfg.n_radfit + cfg.n_cloud + cfg.n_ray
+        for k, im in enumerate(self.i_molfit):
+            q = q.at[:, im].set(self.base_q[:, im] * 10.0 ** params[off + k])
+        metals = jnp.sum(q[:, self.i_metals], axis=1)
+        qfree = 1.0 - metals
+        valid &= jnp.all(qfree >= 0.0)
+        qfree_safe = jnp.maximum(qfree, 0.0)
+        r = self.h2he_ratio
+        q = q.at[:, self.i_h2].set(r * qfree_safe / (1.0 + r))
+        q = q.at[:, self.i_he].set(qfree_safe / (1.0 + r))
+
+        # 3. hydrostatic radii (reference precomputes in the atm file;
+        #    bart_tpu re-derives per sample so T feedback is exact)
+        mmm = q @ self.masses
+        if cfg.n_radfit:
+            r0 = params[nPT]  # fitted radius [km] (set_radius, BARTfunc.py:351)
+        else:
+            r0 = jnp.asarray(self.r0_km, dtype)
+        rad_km = radius_profile(
+            self.pressure, T_safe, mmm, cfg.refpress, r0, self.g0_si, i0=self.i0
+        )
+        rad_cm = rad_km * const.KM_TO_CM
+
+        # 4. extinction [cm-1] per (layer, wn)
+        n_tot = self.p_barye / (const.K_BOLTZ * T_safe)          # [cm-3]
+        sigma = interp_opacity(
+            self.sigma, self.opacity.t_min, self.opacity.t_step,
+            len(self.opacity.t_grid), T_safe,
+        )                                                        # [mol, L, wn]
+        n_mol = (q[:, self.i_opac] * n_tot[:, None]).T           # [mol, L]
+        ext = jnp.einsum("mlw,ml->lw", sigma, n_mol)
+
+        for (i1, i2, ctemps, cwn, cabs) in self.cia:
+            from bart_tpu.opacity.cia import cia_extinction
+
+            n1 = q[:, i1] * n_tot / LOSCHMIDT
+            n2 = q[:, i2] * n_tot / LOSCHMIDT
+            ext = ext + cia_extinction(ctemps, cwn, cabs, self.wn, T_safe, n1, n2)
+
+        if cfg.scattering is not None:
+            if cfg.scattering == "polar":   # set_scattering(2, 0)
+                ext = ext + rayleigh_extinction(
+                    self.wn, q[:, self.i_h2] * n_tot, 0.0, mode=2
+                )
+            else:                            # set_scattering(1, param)
+                ray_par = params[nPT + cfg.n_radfit + cfg.n_cloud]
+                ext = ext + rayleigh_extinction(
+                    self.wn, q[:, self.i_h2] * n_tot, ray_par, mode=1
+                )
+
+        if cfg.cloudtop:
+            ctop = params[nPT + cfg.n_radfit]  # cloud-top pressure [bar]
+            ext = ext + cloud_deck_extinction(
+                self.pressure, jnp.log10(jnp.maximum(ctop, 1e-30)), self.wn.shape[0]
+            )
+
+        # 5. geometry -> spectrum (run_transit equivalent, BARTfunc.py:363)
+        if cfg.solution in ("eclipse", "direct"):
+            tau = tau_vertical(ext, rad_cm)
+            spectrum = eclipse_flux(tau, T_safe, self.wn, self.mu, self.mu_w)
+        elif cfg.solution == "transit":
+            spectrum = transit_depth(ext, rad_cm, self.system.r_star * 100.0)
+        else:
+            raise ValueError(f"unknown solution {cfg.solution!r}")
+
+        # 6. optional energy-balance veto (BARTfunc.py:366-383)
+        if cfg.ebalance and cfg.solution in ("eclipse", "direct"):
+            sysm = self.system
+            e_in = (
+                const.SIGMA_SB * sysm.t_star**4 * sysm.r_star**2
+                * np.pi * sysm.r_planet**2 / sysm.sma**2 * const.JOULE_TO_ERG
+            )
+            e_out = jnp.trapezoid(spectrum, self.wn) * 4.0 * (
+                sysm.r_planet * 100.0
+            ) ** 2
+            valid &= e_out <= e_in
+
+        # 7. band integration (BARTfunc.py:385-396; star division folded
+        #    into the band matrix for eclipse)
+        bandflux = band_integrate(self.bands, spectrum)
+        return bandflux, spectrum, valid
+
+    # -----------------------------------------------------------------
+    def jitted(self):
+        """Single-sample jitted forward."""
+        if self._jitted is None:
+            self._jitted = jax.jit(self.__call__)
+        return self._jitted
+
+    def batched(self):
+        """vmapped forward over a chain batch: params[nchain, n_params]."""
+        return jax.jit(jax.vmap(self.__call__))

@@ -1,0 +1,55 @@
+"""Optical-depth integration for both ray geometries (jit/vmap-safe).
+
+Equivalent of the reference's tau.c/slantpath.c and the vertical path
+of eclipse.c (reference: SURVEY.md section 2.2).  The reference's
+``toomuch`` early exit becomes masked saturation: every layer is
+computed (static shapes), and downstream consumers clamp at tau_max —
+on TPU the uniform computation is faster than any data-dependent exit.
+
+Conventions: layers top-first (index 0 = lowest pressure), radius
+descending [cm], extinction [cm-1] per (layer, wn).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["tau_vertical", "tau_slant", "TAU_CLAMP"]
+
+# Saturation value standing in for the reference's `toomuch` cutoff:
+# exp(-88) underflows f32, so deeper layers contribute exactly zero.
+TAU_CLAMP = 88.0
+
+
+def tau_vertical(extinction: jax.Array, radius_cm: jax.Array) -> jax.Array:
+    """Vertical optical depth from the top: tau[layer, wn].
+
+    tau_l = sum_{k<l} 0.5 (e_k + e_{k+1}) (r_k - r_{k+1}); tau_0 = 0.
+    Trapezoidal, matching the reference's cumulative integration
+    (eclipse.c vertical path).
+    """
+    dr = radius_cm[:-1] - radius_cm[1:]                       # [L-1] > 0
+    seg = 0.5 * (extinction[:-1] + extinction[1:]) * dr[:, None]
+    tau = jnp.cumsum(seg, axis=0)
+    return jnp.concatenate([jnp.zeros_like(tau[:1]), tau], axis=0)
+
+
+def tau_slant(extinction: jax.Array, radius_cm: jax.Array) -> jax.Array:
+    """Slant-path optical depth per impact parameter: tau[b, wn].
+
+    Impact parameters are the layer radii themselves (transit's choice:
+    one ray grazing each layer).  Change of variable x = sqrt(r^2-b^2)
+    turns the path integral 2*int e(r) r dr / sqrt(r^2-b^2) into
+    2*int e dx — trapezoid over the x grid, fully dense/masked (no
+    per-ray ragged loops; slantpath.c equivalent).
+    """
+    r2 = radius_cm**2
+    b2 = r2  # impact parameter b_i = r_i
+    # x[i, k] = path coordinate of layer k along ray i (0 when r_k < b_i)
+    x = jnp.sqrt(jnp.maximum(r2[None, :] - b2[:, None], 0.0))
+    # segment lengths between consecutive layers along each ray
+    dx = x[:, :-1] - x[:, 1:]                                  # [L, L-1] >= 0
+    emid = 0.5 * (extinction[:-1] + extinction[1:])            # [L-1, wn]
+    # tau_i = 2 * sum_k dx[i, k] * emid[k]  — a matmul over the layer axis
+    return 2.0 * jnp.einsum("ik,kw->iw", dx, emid)
