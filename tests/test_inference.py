@@ -1,0 +1,168 @@
+"""Sampler known-answer tests (the test style MC3 ships: quadratic fits
+and Gaussian targets; reference SURVEY.md section 4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bart_tpu.inference.gr import gelman_rubin
+from bart_tpu.inference.likelihood import Likelihood, ParamSpace
+from bart_tpu.inference.retrieval import run_mcmc
+from bart_tpu.inference.samplers import EnsembleSampler
+
+
+def make_gaussian_sampler(walk, nfree=3, nchains=16, seed=0):
+    sigma = jnp.asarray([1.0, 2.0, 0.5][:nfree])
+
+    def loglike(x):
+        return -0.5 * jnp.sum((x / sigma) ** 2), x[:1]
+
+    return EnsembleSampler(
+        loglike_fn=loglike,
+        nfree=nfree,
+        nmodel=1,
+        nchains=nchains,
+        walk=walk,
+        pmin=np.full(nfree, -50.0),
+        pmax=np.full(nfree, 50.0),
+        stepsize=np.full(nfree, 0.7),
+    ), np.asarray(sigma)
+
+
+@pytest.mark.parametrize("walk", ["mrw", "demc", "snooker"])
+def test_gaussian_target(walk):
+    sampler, sigma = make_gaussian_sampler(walk)
+    key = jax.random.key(1)
+    key, k0 = jax.random.split(key)
+    state = sampler.init_state(k0, np.zeros((16, 3)))
+    chunks = []
+    for _ in range(20):
+        key, kb = jax.random.split(key)
+        state, pb, lb, mb = sampler.run_block(state, kb, 200)
+        chunks.append(np.asarray(pb))
+    samples = np.concatenate(chunks)[1000:]  # [iters, chain, nfree]
+    flat = samples.reshape(-1, 3)
+    assert np.abs(flat.mean(0)).max() < 0.15
+    np.testing.assert_allclose(flat.std(0), sigma, rtol=0.1)
+    accept = float(state.naccept.sum()) / (16 * 4000)
+    assert 0.1 < accept < 0.95
+
+
+def test_unif_walk_bounds():
+    sampler, _ = make_gaussian_sampler("unif")
+    key = jax.random.key(2)
+    state = sampler.init_state(key, np.zeros((16, 3)))
+    state, pb, lb, mb = sampler.run_block(state, key, 100)
+    pb = np.asarray(pb)
+    assert pb.min() >= -50 and pb.max() <= 50
+    # uniform sweep covers the space (not stuck at 0)
+    assert pb.std() > 10.0
+
+
+def test_param_space_expand():
+    space = ParamSpace(
+        pinit=[1.0, 2.0, 3.0, 4.0],
+        pmin=[0, 0, 0, 0],
+        pmax=[10, 10, 10, 10],
+        stepsize=[0.1, 0.0, 0.2, -1.0],  # free, fixed, free, shared<-free0
+    )
+    assert space.nfree == 2
+    full = np.asarray(space.expand(jnp.asarray([7.0, 9.0])))
+    np.testing.assert_allclose(full, [7.0, 2.0, 9.0, 7.0])
+
+
+def test_quadratic_fit_recovers_truth():
+    # y = a + b x + c x^2 with noise; MC3-style known-answer regression
+    rng = np.random.default_rng(3)
+    x = np.linspace(0, 10, 50)
+    a, b, c = 3.0, -2.4, 0.5
+    sigma = 1.0
+    y = a + b * x + c * x**2 + rng.normal(0, sigma, x.size)
+
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+
+    def forward(p):
+        model = p[0] + p[1] * xj + p[2] * xj**2
+        return model, model, jnp.asarray(True)
+
+    space = ParamSpace(
+        pinit=[0.0, 0.0, 0.0],
+        pmin=[-10, -10, -10],
+        pmax=[10, 10, 10],
+        stepsize=[0.1, 0.05, 0.01],
+        pnames=["a", "b", "c"],
+    )
+    like = Likelihood(forward, space, y, np.full_like(y, sigma))
+    res = run_mcmc(
+        like, space, nchains=8, numit=240000, burnin=2000, walk="snooker",
+        seed=4, block=200, verbose=False, grtest=True,
+    )
+    flat = res.posterior.transpose(1, 0, 2).reshape(3, -1)
+    # classical least-squares solution for comparison:
+    A = np.vander(x, 3, increasing=True)
+    ls = np.linalg.lstsq(A, y, rcond=None)[0]
+    np.testing.assert_allclose(flat.mean(1), ls, atol=0.15)
+    assert np.all(res.psrf < 1.1)
+    # posterior stds match analytic (A^T A)^-1 sigma^2 diagonal within 25%
+    cov = np.linalg.inv(A.T @ A) * sigma**2
+    np.testing.assert_allclose(flat.std(1), np.sqrt(np.diag(cov)), rtol=0.3)
+
+
+def test_gr_converged_vs_not():
+    rng = np.random.default_rng(5)
+    good = rng.normal(0, 1, (8, 500, 2))
+    psrf = gelman_rubin(good)
+    assert np.all(psrf < 1.05)
+    # diverged: each chain at a different location
+    bad = good + np.arange(8)[:, None, None] * 10.0
+    psrf_bad = gelman_rubin(bad)
+    assert np.all(psrf_bad > 2.0)
+
+
+def test_likelihood_priors_and_bounds():
+    def forward(p):
+        return p, p, jnp.asarray(True)
+
+    space = ParamSpace([0.0], [-5.0], [5.0], [0.1])
+    data = np.array([0.0])
+    unc = np.array([1.0])
+    like = Likelihood(forward, space, data, unc,
+                      prior=np.array([1.0]), priorlow=np.array([0.5]),
+                      priorup=np.array([0.5]))
+    l_at_prior = float(like(jnp.asarray([1.0]))[0])
+    l_off = float(like(jnp.asarray([2.0]))[0])
+    # moving one prior-sigma away costs 0.5 plus the data chi2 change
+    want = (-0.5 * 4.0 - 0.5 * 4.0) - (-0.5 * 1.0 - 0.0)
+    assert l_off - l_at_prior == pytest.approx(want, abs=1e-10)
+    # out of bounds -> -inf
+    assert np.isneginf(float(like(jnp.asarray([7.0]))[0]))
+
+
+def test_logfile_format(tmp_path):
+    def forward(p):
+        return p, p, jnp.asarray(True)
+
+    space = ParamSpace([0.0, 0.0], [-5, -5], [5, 5], [0.1, 0.1],
+                       pnames=["alpha", "beta"])
+    like = Likelihood(forward, space, np.array([1.0, -1.0]),
+                      np.array([0.1, 0.1]))
+    logf = str(tmp_path / "MCMC.log")
+    res = run_mcmc(like, space, nchains=4, numit=4000, burnin=100,
+                   walk="demc", seed=6, block=100, verbose=False,
+                   logfile=logf, savefile=str(tmp_path / "output.npy"))
+    # parse back with the reference's algorithm (bestFit.read_MCMC_out)
+    lines = open(logf).readlines()
+    ini = max(i for i, l in enumerate(lines) if l.startswith(" Best-fit params")) + 1
+    vals = []
+    for l in lines[ini:]:
+        if not l.strip():
+            break
+        vals.append([float(x) for x in l.split()[:2]])
+    vals = np.asarray(vals)
+    assert vals.shape == (2, 2)
+    np.testing.assert_allclose(vals[:, 0], [1.0, -1.0], atol=0.1)
+    # output.npy layout [nchain, nfree, niter]
+    post = np.load(tmp_path / "output.npy")
+    assert post.shape[0] == 4 and post.shape[1] == 2
