@@ -47,7 +47,7 @@ def build_band_matrix(
     filters: list[tuple[np.ndarray, np.ndarray]],
     star_flux: np.ndarray | None = None,
     rprs: float | None = None,
-    dtype=jnp.float64,
+    dtype=None,
 ) -> BandMatrix:
     """Precompute W (host, once).
 

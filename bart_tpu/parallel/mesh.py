@@ -1,0 +1,90 @@
+"""Device mesh and sharding layout for multi-chip retrievals.
+
+TPU-native replacement for the reference's MPI topology (reference:
+SURVEY.md section 2.5 — mpiexec + one process per chain, SHM-shared
+opacity table): a 2-D ``(chain, wn)`` mesh where
+
+* the **chain axis** shards the vmapped ensemble (replacing
+  process-per-chain MPI entirely), and
+* the **wn axis** shards every wavenumber-indexed table — opacity
+  grid, wn grid, band matrix — replacing the POSIX-SHM opacity
+  sharing with true distributed memory.
+
+Because each output wavenumber is independent in the forward model
+(lines were bucketed at table-build time), the runtime hot loop has
+exactly ONE collective: the psum XLA inserts for the band-integration
+matmul contraction over the sharded wn axis.  Everything else is
+embarrassingly parallel — the layout rides ICI with minimal traffic.
+
+Multi-host: initialize ``jax.distributed`` before calling make_mesh
+and the same code spans hosts (DCN for the chain axis, ICI for wn).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "table_shardings", "shard_tables", "shard_model"]
+
+
+def make_mesh(n_chain: int = 1, n_wn: int | None = None, devices=None) -> Mesh:
+    """Build a (chain, wn) mesh.  With ``n_wn=None`` all remaining
+    devices go to the wn axis."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_wn is None:
+        n_wn = len(devices) // n_chain
+    if n_chain * n_wn != len(devices):
+        devices = devices[: n_chain * n_wn]
+    return Mesh(devices.reshape(n_chain, n_wn), ("chain", "wn"))
+
+
+def table_shardings(mesh: Mesh) -> dict:
+    """PartitionSpec per forward-model table key.
+
+    Wavenumber-indexed arrays shard along 'wn'; small per-layer and
+    quadrature arrays replicate.  CIA source tables replicate (they are
+    interpolated onto the sharded wn grid locally).
+    """
+    def spec(*axes):
+        return NamedSharding(mesh, P(*axes))
+
+    rep = spec()
+    out = {
+        "wn": spec("wn"),
+        "sigma": spec(None, None, None, "wn"),   # [mol, nT, layer, wn]
+        "band_w": spec(None, "wn"),              # [nfilt, wn]
+        "pressure": rep,
+        "p_barye": rep,
+        "base_q": rep,
+        "h2he_ratio": rep,
+        "masses": rep,
+        "mu": rep,
+        "mu_w": rep,
+    }
+    return out
+
+
+def shard_tables(tables: dict, mesh: Mesh) -> dict:
+    """device_put every table with its mesh sharding (CIA and unknown
+    keys replicate)."""
+    specs = table_shardings(mesh)
+    rep = NamedSharding(mesh, P())
+    return {
+        k: jax.device_put(v, specs.get(k, rep)) for k, v in tables.items()
+    }
+
+
+def shard_model(fm, mesh: Mesh):
+    """Re-home a ForwardModel's tables onto the mesh in place.
+
+    After this, jitted calls that close over the model see committed
+    sharded arrays and XLA partitions the forward model along wn
+    automatically (band integration contracts over wn -> one psum).
+    """
+    fm._tables = shard_tables(fm._tables, mesh)
+    fm._jitted = None
+    return fm

@@ -118,11 +118,16 @@ class ForwardModel:
         self.dtype = dtype
         cfg = config
 
-        self.wn = jnp.asarray(wn_grid, dtype)
-        self.pressure = jnp.asarray(pressure, dtype)
-        self.p_barye = jnp.asarray(pressure * const.BAR_TO_BARYE, dtype)
+        # All device arrays live in the `tables` pytree so they can be
+        # passed as (shardable) jit arguments instead of baked closure
+        # constants — required for multi-chip wavenumber sharding
+        # (bart_tpu.parallel).
+        t: dict[str, Any] = {}
+        t["wn"] = jnp.asarray(wn_grid, dtype)
+        t["pressure"] = jnp.asarray(pressure, dtype)
+        t["p_barye"] = jnp.asarray(pressure * const.BAR_TO_BARYE, dtype)
         self.species = list(species)
-        self.base_q = jnp.asarray(base_abundances, dtype)
+        t["base_q"] = jnp.asarray(base_abundances, dtype)
 
         # --- species indexing (reference BARTfunc.py:189-201) ---
         sp = np.asarray(species)
@@ -135,7 +140,7 @@ class ForwardModel:
             [int(np.where(sp == m)[0][0]) for m in cfg.molfit], int
         )
         # per-layer H2/He ratio (reference BARTfunc.py:193-194)
-        self.h2he_ratio = jnp.asarray(
+        t["h2he_ratio"] = jnp.asarray(
             base_abundances[:, self.i_h2] / base_abundances[:, self.i_he], dtype
         )
 
@@ -143,36 +148,37 @@ class ForwardModel:
             from bart_tpu.linelist.molecules import get_molecule
 
             species_masses = np.array([get_molecule(s).mass for s in species])
-        self.masses = jnp.asarray(species_masses, dtype)
+        t["masses"] = jnp.asarray(species_masses, dtype)
 
         # --- opacity table: map table species -> atmosphere indices ---
         self.opacity = opacity
-        self.sigma = opacity.sigma.astype(dtype)
+        self.t_min = float(opacity.t_grid[0])
+        self.t_step = float(opacity.t_grid[1] - opacity.t_grid[0])
+        self.n_t = len(opacity.t_grid)
+        t["sigma"] = opacity.sigma.astype(dtype)
         self.i_opac = np.array(
             [int(np.where(sp == m)[0][0]) for m in opacity.species], int
         )
 
         # --- CIA: resolve collider indices (reference cia.c) ---
-        self.cia = []
-        for tab in cia_tables:
+        self.cia_idx = []
+        for k, tab in enumerate(cia_tables):
             i1 = int(np.where(sp == tab.species[0])[0][0])
             i2 = int(np.where(sp == tab.species[1])[0][0])
-            self.cia.append(
-                (
-                    i1, i2,
-                    jnp.asarray(tab.temps, dtype),
-                    jnp.asarray(tab.wn, dtype),
-                    jnp.asarray(tab.absorption, dtype),
-                )
-            )
+            self.cia_idx.append((i1, i2))
+            t[f"cia{k}_temps"] = jnp.asarray(tab.temps, dtype)
+            t[f"cia{k}_wn"] = jnp.asarray(tab.wn, dtype)
+            t[f"cia{k}_abs"] = jnp.asarray(tab.absorption, dtype)
 
         # --- geometry setup ---
         mu, w = raygrid_weights(cfg.raygrid)
-        self.mu = jnp.asarray(mu, dtype)
-        self.mu_w = jnp.asarray(w, dtype)
+        t["mu"] = jnp.asarray(mu, dtype)
+        t["mu_w"] = jnp.asarray(w, dtype)
+        t["band_w"] = bands.weights.astype(dtype)
         self.i0 = anchor_index(pressure, cfg.refpress)
         self.r0_km = system.r_planet / 1000.0
         self.g0_si = system.g_planet_si
+        self._tables = t
 
         # PT extra args (reference BARTfunc.py:204-210)
         if cfg.pt_type == "line":
@@ -186,9 +192,18 @@ class ForwardModel:
         self._jitted = None
 
     # -----------------------------------------------------------------
-    def __call__(self, params: jax.Array):
+    @property
+    def tables(self) -> dict:
+        """The device-array pytree (pass through jit args to shard)."""
+        return self._tables
+
+    def __call__(self, params: jax.Array, tables: dict | None = None):
         """forward(params[n_params]) -> (bandflux[nfilt], spectrum[nwave],
-        valid[bool]).  Pure function of params; jit/vmap/grad-safe."""
+        valid[bool]).  Pure function of (params, tables);
+        jit/vmap/grad-safe.  ``tables`` defaults to the model's own
+        arrays; pass them explicitly (e.g. device_put with shardings)
+        for multi-chip execution."""
+        t = self._tables if tables is None else tables
         cfg = self.config
         nPT = cfg.n_pt
         dtype = self.dtype
@@ -199,77 +214,82 @@ class ForwardModel:
                 f"expects {cfg.n_params}"
             )
         params = params.astype(dtype)
+        pressure = t["pressure"]
+        wn = t["wn"]
 
         # 1. temperature profile (BARTfunc.py:320-330)
         T, pt_valid = pt_generator(
-            self.pressure, params[:nPT], cfg.pt_type, self.pt_args
+            pressure, params[:nPT], cfg.pt_type, self.pt_args
         )
         T = T.astype(dtype)
         valid = pt_valid & jnp.all((T >= cfg.tmin) & (T <= cfg.tmax))
         T_safe = jnp.clip(T, cfg.tmin, cfg.tmax)
 
         # 2. abundance scaling + H2/He renormalization (BARTfunc.py:332-347)
-        q = self.base_q
+        base_q = t["base_q"]
+        q = base_q
         off = nPT + cfg.n_radfit + cfg.n_cloud + cfg.n_ray
         for k, im in enumerate(self.i_molfit):
-            q = q.at[:, im].set(self.base_q[:, im] * 10.0 ** params[off + k])
+            q = q.at[:, im].set(base_q[:, im] * 10.0 ** params[off + k])
         metals = jnp.sum(q[:, self.i_metals], axis=1)
         qfree = 1.0 - metals
         valid &= jnp.all(qfree >= 0.0)
         qfree_safe = jnp.maximum(qfree, 0.0)
-        r = self.h2he_ratio
+        r = t["h2he_ratio"]
         q = q.at[:, self.i_h2].set(r * qfree_safe / (1.0 + r))
         q = q.at[:, self.i_he].set(qfree_safe / (1.0 + r))
 
         # 3. hydrostatic radii (reference precomputes in the atm file;
         #    bart_tpu re-derives per sample so T feedback is exact)
-        mmm = q @ self.masses
+        mmm = q @ t["masses"]
         if cfg.n_radfit:
             r0 = params[nPT]  # fitted radius [km] (set_radius, BARTfunc.py:351)
         else:
             r0 = jnp.asarray(self.r0_km, dtype)
         rad_km = radius_profile(
-            self.pressure, T_safe, mmm, cfg.refpress, r0, self.g0_si, i0=self.i0
+            pressure, T_safe, mmm, cfg.refpress, r0, self.g0_si, i0=self.i0
         )
         rad_cm = rad_km * const.KM_TO_CM
 
         # 4. extinction [cm-1] per (layer, wn)
-        n_tot = self.p_barye / (const.K_BOLTZ * T_safe)          # [cm-3]
+        n_tot = t["p_barye"] / (const.K_BOLTZ * T_safe)          # [cm-3]
         sigma = interp_opacity(
-            self.sigma, self.opacity.t_min, self.opacity.t_step,
-            len(self.opacity.t_grid), T_safe,
+            t["sigma"], self.t_min, self.t_step, self.n_t, T_safe,
         )                                                        # [mol, L, wn]
         n_mol = (q[:, self.i_opac] * n_tot[:, None]).T           # [mol, L]
         ext = jnp.einsum("mlw,ml->lw", sigma, n_mol)
 
-        for (i1, i2, ctemps, cwn, cabs) in self.cia:
+        for k, (i1, i2) in enumerate(self.cia_idx):
             from bart_tpu.opacity.cia import cia_extinction
 
             n1 = q[:, i1] * n_tot / LOSCHMIDT
             n2 = q[:, i2] * n_tot / LOSCHMIDT
-            ext = ext + cia_extinction(ctemps, cwn, cabs, self.wn, T_safe, n1, n2)
+            ext = ext + cia_extinction(
+                t[f"cia{k}_temps"], t[f"cia{k}_wn"], t[f"cia{k}_abs"],
+                wn, T_safe, n1, n2,
+            )
 
         if cfg.scattering is not None:
             if cfg.scattering == "polar":   # set_scattering(2, 0)
                 ext = ext + rayleigh_extinction(
-                    self.wn, q[:, self.i_h2] * n_tot, 0.0, mode=2
+                    wn, q[:, self.i_h2] * n_tot, 0.0, mode=2
                 )
             else:                            # set_scattering(1, param)
                 ray_par = params[nPT + cfg.n_radfit + cfg.n_cloud]
                 ext = ext + rayleigh_extinction(
-                    self.wn, q[:, self.i_h2] * n_tot, ray_par, mode=1
+                    wn, q[:, self.i_h2] * n_tot, ray_par, mode=1
                 )
 
         if cfg.cloudtop:
             ctop = params[nPT + cfg.n_radfit]  # cloud-top pressure [bar]
             ext = ext + cloud_deck_extinction(
-                self.pressure, jnp.log10(jnp.maximum(ctop, 1e-30)), self.wn.shape[0]
+                pressure, jnp.log10(jnp.maximum(ctop, 1e-30)), wn.shape[0]
             )
 
         # 5. geometry -> spectrum (run_transit equivalent, BARTfunc.py:363)
         if cfg.solution in ("eclipse", "direct"):
             tau = tau_vertical(ext, rad_cm)
-            spectrum = eclipse_flux(tau, T_safe, self.wn, self.mu, self.mu_w)
+            spectrum = eclipse_flux(tau, T_safe, wn, t["mu"], t["mu_w"])
         elif cfg.solution == "transit":
             spectrum = transit_depth(ext, rad_cm, self.system.r_star * 100.0)
         else:
@@ -282,15 +302,36 @@ class ForwardModel:
                 const.SIGMA_SB * sysm.t_star**4 * sysm.r_star**2
                 * np.pi * sysm.r_planet**2 / sysm.sma**2 * const.JOULE_TO_ERG
             )
-            e_out = jnp.trapezoid(spectrum, self.wn) * 4.0 * (
+            e_out = jnp.trapezoid(spectrum, wn) * 4.0 * (
                 sysm.r_planet * 100.0
             ) ** 2
             valid &= e_out <= e_in
 
         # 7. band integration (BARTfunc.py:385-396; star division folded
         #    into the band matrix for eclipse)
-        bandflux = band_integrate(self.bands, spectrum)
+        bandflux = spectrum @ t["band_w"].T
         return bandflux, spectrum, valid
+
+    # convenience views used by tests/tools
+    @property
+    def wn(self):
+        return self._tables["wn"]
+
+    @property
+    def pressure(self):
+        return self._tables["pressure"]
+
+    @property
+    def sigma(self):
+        return self._tables["sigma"]
+
+    @property
+    def mu(self):
+        return self._tables["mu"]
+
+    @property
+    def mu_w(self):
+        return self._tables["mu_w"]
 
     # -----------------------------------------------------------------
     def jitted(self):
