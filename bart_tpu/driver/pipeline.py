@@ -1,0 +1,378 @@
+"""The staged retrieval pipeline.
+
+Equivalent of the reference driver BART.py's main flow (reference:
+BART.py:36-651, call stack in SURVEY.md section 3.1): pressure grid ->
+abundances -> initial PT -> atmosphere (uniform or equilibrium) ->
+line list -> opacity grid -> MCMC -> post-processing, with the same
+stage gating:
+
+* file-presence resume (the reference's runMCMC bitmask,
+  BART.py:464-493): a stage whose output file exists is skipped;
+* ``--justTEA`` stops after the atmosphere (BART.py:548-550);
+* ``--justOpacity`` stops after the opacity grid (BART.py:571-573);
+* ``--justPlots`` re-runs only post-processing (BART.py:599);
+* ``--resume`` continues into an existing output directory.
+
+Where the reference shells out (TEA subprocess, transit subprocess,
+mpiexec), every stage here is an in-process call.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+from bart_tpu.driver.config import RetrievalConfig, load_data_array
+
+__all__ = ["Pipeline"]
+
+
+class Pipeline:
+    def __init__(
+        self,
+        cfg: RetrievalConfig,
+        just_tea: bool = False,
+        just_opacity: bool = False,
+        just_plots: bool = False,
+        resume: bool = False,
+        dtype=None,
+    ):
+        self.cfg = cfg
+        self.just_tea = just_tea
+        self.just_opacity = just_opacity
+        self.just_plots = just_plots
+        self.resume = resume
+
+        import jax
+        import jax.numpy as jnp
+
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.dtype = dtype
+        self.date_dir = os.path.abspath(cfg.loc_dir)
+        os.makedirs(self.date_dir, exist_ok=True)
+
+    def log(self, msg: str) -> None:
+        if not self.cfg.quiet:
+            print(f"[bart_tpu] {msg}")
+
+    # -- stage helpers -------------------------------------------------
+    def _out(self, name: str | None, default: str) -> str:
+        name = name or default
+        if not os.path.isabs(name):
+            name = os.path.join(self.date_dir, os.path.basename(name))
+        return name
+
+    def run(self):
+        cfg = self.cfg
+        os.makedirs(self.date_dir, exist_ok=True)
+
+        pressure = self.stage_pressure()
+        elems = self.stage_abundances()
+        atm = self.stage_atmosphere(pressure, elems)
+        if self.just_tea:
+            self.log("--justTEA: stopping after atmosphere generation.")
+            return atm
+
+        wn = cfg.wavenumber_grid()
+        tli = self.stage_linelist(wn)
+        grid = self.stage_opacity(tli, wn, pressure)
+        if self.just_opacity:
+            self.log("--justOpacity: stopping after opacity table.")
+            return grid
+
+        fm, like, space = self.stage_forward(atm, wn, grid)
+        if self.just_plots:
+            result = None
+        else:
+            result = self.stage_mcmc(like, space)
+        if cfg.plots:
+            self.stage_post(fm, like, space, result)
+        return result
+
+    # ------------------------------------------------------------------
+    def stage_pressure(self) -> np.ndarray:
+        """Pressure grid (BART.py:497-499 / makeP)."""
+        from bart_tpu.utils.grids import (
+            pressure_grid, read_pressure_file, write_pressure_file,
+        )
+
+        cfg = self.cfg
+        path = self._out(cfg.press_file, "atm.pres")
+        if os.path.isfile(path) and (self.resume or cfg.press_file):
+            self.log(f"pressure grid: reusing {path}")
+            return read_pressure_file(path)
+        p = pressure_grid(cfg.n_layers, cfg.p_top, cfg.p_bottom, cfg.log)
+        write_pressure_file(p, path)
+        self.log(f"pressure grid: {cfg.n_layers} layers "
+                 f"{cfg.p_top:g}-{cfg.p_bottom:g} bar -> {path}")
+        return p
+
+    def stage_abundances(self):
+        """Elemental abundances with metallicity/COswap
+        (BART.py:512-515 / makeAbun)."""
+        from bart_tpu.io.abundances import (
+            read_elements, scale_abundances, write_elements,
+        )
+
+        cfg = self.cfg
+        table = read_elements(cfg.abun_basic)
+        table = scale_abundances(table, cfg.solar_times, cfg.COswap)
+        path = self._out(cfg.abun_file, "abundances.abn")
+        write_elements(table, path)
+        return table
+
+    def stage_atmosphere(self, pressure: np.ndarray, elems):
+        """Atmosphere file: uniform or thermochemical equilibrium
+        (BART.py:502-546)."""
+        from bart_tpu.io.atm import Atmosphere, read_atm, write_atm_transit
+        from bart_tpu.io.tep import PlanetSystem
+        from bart_tpu.physics import pt as pt_mod
+        from bart_tpu.physics.hydro import radius_profile
+        from bart_tpu.physics.stoich import mean_molar_mass, strip_janaf
+
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        path = self._out(cfg.atmfile, "atmosphere.atm")
+        if os.path.isfile(path):
+            self.log(f"atmosphere: reusing {path}")
+            return read_atm(path)
+
+        system = PlanetSystem.from_tep(cfg.tep_name)
+        species = [strip_janaf(s) for s in cfg.out_spec.split()]
+
+        # initial PT profile (InitialPT.initialPT2 equivalent,
+        # BART.py:519-526): PTinit params, else the PT block of params.
+        pt_params = cfg.PTinit
+        if pt_params is None and cfg.params is not None:
+            pt_params = cfg.params[: pt_mod.n_pt_params[cfg.PTtype]]
+        if pt_params is None:
+            raise ValueError("need PTinit or params to build the initial "
+                             "PT profile")
+        if cfg.PTtype == "line":
+            pt_args = [system.r_star, system.t_star, cfg.tint, system.sma,
+                       system.g_planet_cgs, cfg.tint_type]
+        else:
+            pt_args = None
+        T, valid = pt_mod.pt_generator(
+            jnp.asarray(pressure), jnp.asarray(pt_params), cfg.PTtype, pt_args
+        )
+        if not bool(valid):
+            raise ValueError("initial PT parameters give a non-physical "
+                             "profile")
+        T = np.asarray(T)
+
+        if cfg.uniform is not None:
+            # uniform-abundance path (BART.py:502-510 / makeatm.uniform)
+            q = np.tile(np.asarray(cfg.uniform, np.float64),
+                        (len(pressure), 1))
+        else:
+            # thermochemical equilibrium (TEA subprocess replacement)
+            from bart_tpu.chem.tea import equilibrium_abundances
+
+            self.log("TEA-equivalent equilibrium chemistry...")
+            q = equilibrium_abundances(
+                species, cfg.in_elem.split(), pressure, T, elems,
+                maxiter=cfg.maxiter,
+            )
+
+        mu = mean_molar_mass(species, q, elems)
+        rad = np.asarray(radius_profile(
+            jnp.asarray(pressure), jnp.asarray(T), jnp.asarray(mu),
+            cfg.refpress, system.r_planet / 1000.0, system.g_planet_si,
+        ))
+        atm = Atmosphere(species, pressure, T, q, rad)
+        write_atm_transit(atm, path)
+        self.log(f"atmosphere: {len(species)} species -> {path}")
+        return atm
+
+    def stage_linelist(self, wn: np.ndarray):
+        """Line database (pylineread/TLI equivalent, SURVEY.md 3.5)."""
+        from bart_tpu.linelist import tli as tli_mod
+        from bart_tpu.linelist.hitran import read_par
+
+        cfg = self.cfg
+        if cfg.linedb is None:
+            self.log("no linedb given — continuum-only opacity")
+            return tli_mod.TliData([], {}, float(wn[0]), float(wn[-1]))
+        if cfg.linedb.endswith((".npz", ".tli")):
+            data = tli_mod.load_tli(cfg.linedb)
+        else:  # HITRAN .par directly
+            lists = read_par(cfg.linedb)
+            data = tli_mod.TliData(
+                list(lists), lists, float(wn[0]), float(wn[-1])
+            )
+        # trim to the spectrum range plus wing margin:
+        for name in data.species:
+            data.lines[name] = data.lines[name].trim(
+                float(wn[0]) - 30.0, float(wn[-1]) + 30.0
+            )
+        self.log(f"line list: {data.total_lines()} lines, "
+                 f"{list(data.lines)}")
+        return data
+
+    def stage_opacity(self, tli, wn: np.ndarray, pressure: np.ndarray):
+        """Opacity grid build/reuse (BART.py:560-569)."""
+        from bart_tpu.opacity.grid import build_opacity_grid, load_grid, save_grid
+
+        cfg = self.cfg
+        path = self._out(cfg.opacityfile, "opacity.npz")
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        if os.path.isfile(path):
+            self.log(f"opacity grid: reusing {path}")
+            return load_grid(path)
+
+        molfit_species = set(cfg.molfit or [])
+        lines = {k: v for k, v in tli.lines.items()}
+        t_grid = np.arange(cfg.tlow, cfg.thigh + cfg.tempdelt / 2,
+                           cfg.tempdelt)
+        t0 = time.time()
+        grid = build_opacity_grid(
+            lines, wn, t_grid, pressure,
+            nwidth=cfg.nwidth, ethresh=cfg.ethresh,
+            q_tables=getattr(tli, "partition", None) or {},
+        )
+        save_grid(grid, path)
+        self.log(f"opacity grid {tuple(np.asarray(grid.sigma).shape)} built "
+                 f"in {time.time()-t0:.1f}s -> {path}")
+        return grid
+
+    def stage_forward(self, atm, wn: np.ndarray, grid):
+        """Forward model + likelihood assembly (BARTfunc init
+        equivalent)."""
+        from bart_tpu.io.filters import read_filter
+        from bart_tpu.io.kurucz import blackbody_star, read_kurucz_pck, stellar_flux
+        from bart_tpu.io.tep import PlanetSystem
+        from bart_tpu.inference.likelihood import Likelihood, ParamSpace
+        from bart_tpu.obs.bands import build_band_matrix
+        from bart_tpu.opacity.cia import read_cia, read_cia_hitran
+        from bart_tpu.rt.forward import ForwardConfig, ForwardModel
+
+        cfg = self.cfg
+        system = PlanetSystem.from_tep(cfg.tep_name)
+        filters = [read_filter(f) for f in (cfg.filters or [])]
+
+        starfl = None
+        if cfg.solution in ("eclipse", "transit"):
+            if cfg.kurucz and os.path.isfile(cfg.kurucz):
+                kgrid = read_kurucz_pck(cfg.kurucz)
+                sf, swn, tmod, gmod = stellar_flux(
+                    kgrid, system.t_star, system.logg_star
+                )
+                starfl = np.interp(wn, swn, sf)
+                self.log(f"stellar model: Kurucz T={tmod} logg={gmod}")
+            else:
+                starfl, _ = blackbody_star(wn, system.t_star)
+                self.log("stellar model: blackbody (no Kurucz grid)")
+
+        if cfg.solution == "eclipse":
+            bands = build_band_matrix(wn, filters, star_flux=starfl,
+                                      rprs=system.rprs)
+        else:
+            bands = build_band_matrix(wn, filters)
+
+        cia_tables = []
+        for path in cfg.csfile or []:
+            try:
+                cia_tables.append(read_cia(path))
+            except ValueError:
+                cia_tables.append(read_cia_hitran(path))
+
+        fconfig = ForwardConfig(
+            solution=cfg.solution,
+            pt_type=cfg.PTtype,
+            molfit=tuple(cfg.molfit or ()),
+            tmin=cfg.Tmin, tmax=cfg.Tmax,
+            cloudtop=cfg.cloudtop is not None,
+            scattering=("polar" if isinstance(cfg.scattering, str)
+                        and "polar" in cfg.scattering
+                        else ("ray" if cfg.scattering is not None else None)),
+            ebalance=cfg.ebalance,
+            refpress=cfg.refpress,
+            raygrid=tuple(cfg.raygrid) if cfg.raygrid is not None
+                    else (0.0, 20.0, 40.0, 60.0, 80.0),
+            tint=cfg.tint, tint_type=cfg.tint_type,
+        )
+        fm = ForwardModel(
+            fconfig, wn_grid=wn, pressure=atm.pressure, species=atm.species,
+            base_abundances=atm.abundances, opacity=grid, system=system,
+            bands=bands, cia_tables=cia_tables, dtype=self.dtype,
+        )
+
+        cfgdir = self.date_dir
+        data = load_data_array(cfg.data, cfgdir)
+        uncert = load_data_array(cfg.uncert, cfgdir)
+        if data is None and cfg.walk == "unif":
+            # the reference synthesizes dummy data for unif sweeps
+            # (makecfg.py:178-190)
+            data = np.zeros(bands.nfilters)
+            uncert = np.ones(bands.nfilters)
+        if data is None:
+            raise ValueError("no data given (and walk != 'unif')")
+
+        space = ParamSpace(
+            pinit=cfg.params, pmin=cfg.pmin, pmax=cfg.pmax,
+            stepsize=cfg.stepsize, pnames=cfg.parnames,
+        )
+        like = Likelihood(fm, space, data, uncert)
+        self.store = dict(system=system, starfl=starfl, filters=filters,
+                          data=data, uncert=uncert)
+        return fm, like, space
+
+    def stage_mcmc(self, like, space):
+        """The retrieval itself (BART.py:576-580 mpiexec equivalent)."""
+        from bart_tpu.inference.retrieval import run_mcmc
+
+        cfg = self.cfg
+        return run_mcmc(
+            like, space,
+            nchains=cfg.nchains, numit=cfg.numit, burnin=cfg.burnin,
+            walk=cfg.walk, thinning=cfg.thinning,
+            grtest=cfg.grtest, grexit=cfg.grexit,
+            leastsq=cfg.leastsq, chisqscale=cfg.chisqscale,
+            seed=cfg.seed,
+            savefile=os.path.join(self.date_dir, "output.npy"),
+            savemodel=(self._out(cfg.savemodel, "models.npy")
+                       if cfg.savemodel else None),
+            logfile=os.path.join(self.date_dir, cfg.logfile),
+            verbose=not cfg.quiet,
+            dtype=self.dtype,
+        )
+
+    def stage_post(self, fm, like, space, result):
+        """Post-processing: plots + best fit + contribution functions
+        (BART.py:599-651)."""
+        from bart_tpu.post.bestfit import best_fit_outputs
+
+        cfg = self.cfg
+        post_dir = self.date_dir
+        if result is None:
+            # --justPlots: reload posterior from disk
+            import dataclasses as dc
+
+            from bart_tpu.inference.retrieval import RetrievalResult
+
+            post = np.load(os.path.join(post_dir, "output.npy"))
+            from bart_tpu.post.bestfit import read_mcmc_log
+
+            bestp, _ = read_mcmc_log(os.path.join(post_dir, cfg.logfile))
+            result = RetrievalResult(
+                posterior=post, models=None, bestp=bestp,
+                best_loglike=np.nan, accept_rate=np.nan,
+                psrf=np.full(space.nfree, np.nan),
+                pnames=[space.pnames[i] for i in space.ifree]
+                if space.pnames else [f"p{i}" for i in space.ifree],
+                space=space, niter_total=post.shape[2], converged=False,
+            )
+        best_fit_outputs(
+            fm, like, space, result, post_dir,
+            fext=cfg.fext, store=getattr(self, "store", {}),
+        )
+        self.log(f"post-processing written to {post_dir}")
+        return result

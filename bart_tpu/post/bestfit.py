@@ -1,0 +1,134 @@
+"""Best-fit post-processing.
+
+Equivalent of the reference's bestFit.py (reference:
+code/bestFit.py:55-108 read_MCMC_out/get_params, :300-525 callTransit,
+:528-688 plot_bestFit_Spectrum) without subprocesses: the best-fit
+spectrum, atmosphere, PT envelopes, and contribution functions all come
+straight from the in-process forward model.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+__all__ = ["read_mcmc_log", "best_fit_outputs"]
+
+
+def read_mcmc_log(path: str):
+    """Parse the ' Best-fit params' block (reference
+    code/bestFit.py:55-92 algorithm)."""
+    lines = open(path).readlines()
+    ini = None
+    for i in range(len(lines) - 1, -1, -1):
+        if lines[i].startswith(" Best-fit params"):
+            ini = i + 1
+            break
+    if ini is None:
+        raise ValueError(f"{path}: no Best-fit params block")
+    bestp, uncert = [], []
+    for line in lines[ini:]:
+        if not line.strip():
+            break
+        f = line.split()
+        bestp.append(float(f[0]))
+        uncert.append(float(f[1]))
+    return np.asarray(bestp), np.asarray(uncert)
+
+
+def best_fit_outputs(fm, like, space, result, out_dir: str,
+                     fext: str = ".png", store: dict | None = None) -> None:
+    """Write the full post-processing set: trace/pairwise/histogram,
+    best-fit spectrum + .dat file, PT posterior envelope with CF
+    overlay, contribution functions / transmittance, best-fit
+    atmosphere file."""
+    from bart_tpu.io.atm import Atmosphere, write_atm_transit
+    from bart_tpu.post import plots
+    from bart_tpu.post.cf import band_average, contribution_functions, transmittance
+
+    store = store or {}
+    posterior = result.posterior          # [nchain, nfree, niter]
+    pnames = result.pnames
+
+    # --- MCMC plots (mc3plots equivalents, BART.py:599-604) ---
+    plots.trace(posterior, pnames, os.path.join(out_dir, "trace" + fext))
+    plots.pairwise(posterior, pnames, os.path.join(out_dir, "pairwise" + fext))
+    plots.histogram(posterior, pnames,
+                    os.path.join(out_dir, "posterior" + fext))
+
+    # --- best-fit forward evaluation (callTransit equivalent) ---
+    best_free = jnp.asarray(result.bestp)
+    bandflux, spectrum, _ = fm.jitted()(space.expand(best_free))
+    T_best, q_best, rad_cm, ext, _ = fm.diagnostics(space.expand(best_free))
+    wn = np.asarray(fm.wn)
+    pressure = np.asarray(fm.pressure)
+
+    # best-fit spectrum file (outspec format: wavelength um, value;
+    # readtransit.py:23-64 contract)
+    spec = np.asarray(spectrum)
+    with open(os.path.join(out_dir, "bestfit_spectrum.dat"), "w") as f:
+        f.write("#wvl [um]    flux/modulation\n")
+        for w, s in zip(wn[::-1], spec[::-1]):
+            f.write(f"{1e4/w:.7e}  {s:.7e}\n")
+
+    # best-fit atmosphere (write_atmfile equivalent, bestFit.py:144-268)
+    atm_best = Atmosphere(
+        species=fm.species, pressure=pressure, temperature=np.asarray(T_best),
+        abundances=np.asarray(q_best), radius=np.asarray(rad_cm) / 1e5,
+    )
+    write_atm_transit(atm_best, os.path.join(out_dir, "bestfit.atm"))
+
+    # --- spectrum plot with data ---
+    filters = store.get("filters", [])
+    data = store.get("data", np.asarray(like.data))
+    uncert = store.get("uncert", np.asarray(like.uncert))
+    if len(filters):
+        band_wn = np.array([np.average(fw, weights=ft)
+                            for fw, ft in filters])
+    else:
+        band_wn = np.linspace(wn[0], wn[-1], len(data))
+    plots.spectrum_plot(
+        wn, spec, band_wn, np.asarray(bandflux), np.asarray(data),
+        np.asarray(uncert),
+        os.path.join(out_dir, "bestfit_spectrum" + fext),
+        solution=fm.config.solution,
+        starfl=store.get("starfl"),
+        rprs=getattr(fm.system, "rprs", None),
+    )
+
+    # --- contribution functions / transmittance (BART.py:627-644) ---
+    ext_np = np.asarray(ext)
+    rad_np = np.asarray(rad_cm)
+    cf_overlay = None
+    if fm.config.solution in ("eclipse", "direct"):
+        cf_lw = contribution_functions(ext_np, rad_np, np.asarray(T_best),
+                                       pressure, wn)
+        if len(filters):
+            cf_bands = band_average(cf_lw, wn, filters)
+            np.save(os.path.join(out_dir, "cf.npy"), cf_bands)
+            cf_overlay = cf_bands.mean(axis=1)
+    else:
+        tr_lw = transmittance(ext_np, rad_np)
+        if len(filters):
+            tr_bands = band_average(tr_lw, wn, filters)
+            np.save(os.path.join(out_dir, "transmittance.npy"), tr_bands)
+            # pseudo-CF for transit: d(transmittance)/dlnp
+            cf_overlay = np.abs(np.gradient(tr_bands.mean(axis=1)))
+
+    # --- PT posterior envelope (bestFit.py:429-525) ---
+    # sample PT profiles from the posterior (thinned):
+    flat = posterior.transpose(1, 0, 2).reshape(space.nfree, -1)
+    nsamp = min(300, flat.shape[1])
+    idx = np.linspace(0, flat.shape[1] - 1, nsamp).astype(int)
+    t_samples = []
+    for k in idx:
+        full = space.expand(jnp.asarray(flat[:, k]))
+        T_k, _, _, _, _ = fm.diagnostics(full)
+        t_samples.append(np.asarray(T_k))
+    plots.pt_envelope(
+        pressure, np.asarray(t_samples), np.asarray(T_best),
+        os.path.join(out_dir, "PT_envelope" + fext), cf_overlay=cf_overlay,
+    )

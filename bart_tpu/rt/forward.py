@@ -214,6 +214,42 @@ class ForwardModel:
                 f"expects {cfg.n_params}"
             )
         params = params.astype(dtype)
+        T_safe, q, rad_cm, ext, valid = self._atmosphere(params, t)
+        pressure = t["pressure"]
+        wn = t["wn"]
+
+        # 5. geometry -> spectrum (run_transit equivalent, BARTfunc.py:363)
+        if cfg.solution in ("eclipse", "direct"):
+            tau = tau_vertical(ext, rad_cm)
+            spectrum = eclipse_flux(tau, T_safe, wn, t["mu"], t["mu_w"])
+        elif cfg.solution == "transit":
+            spectrum = transit_depth(ext, rad_cm, self.system.r_star * 100.0)
+        else:
+            raise ValueError(f"unknown solution {cfg.solution!r}")
+
+        # 6. optional energy-balance veto (BARTfunc.py:366-383)
+        if cfg.ebalance and cfg.solution in ("eclipse", "direct"):
+            sysm = self.system
+            e_in = (
+                const.SIGMA_SB * sysm.t_star**4 * sysm.r_star**2
+                * np.pi * sysm.r_planet**2 / sysm.sma**2 * const.JOULE_TO_ERG
+            )
+            e_out = jnp.trapezoid(spectrum, wn) * 4.0 * (
+                sysm.r_planet * 100.0
+            ) ** 2
+            valid &= e_out <= e_in
+
+        # 7. band integration (BARTfunc.py:385-396; star division folded
+        #    into the band matrix for eclipse)
+        bandflux = spectrum @ t["band_w"].T
+        return bandflux, spectrum, valid
+
+    def _atmosphere(self, params, t):
+        """Steps 1-4 of the hot loop: params -> (T, q, radii, extinction,
+        valid).  Shared by __call__ and diagnostics()."""
+        cfg = self.config
+        nPT = cfg.n_pt
+        dtype = self.dtype
         pressure = t["pressure"]
         wn = t["wn"]
 
@@ -286,31 +322,17 @@ class ForwardModel:
                 pressure, jnp.log10(jnp.maximum(ctop, 1e-30)), wn.shape[0]
             )
 
-        # 5. geometry -> spectrum (run_transit equivalent, BARTfunc.py:363)
-        if cfg.solution in ("eclipse", "direct"):
-            tau = tau_vertical(ext, rad_cm)
-            spectrum = eclipse_flux(tau, T_safe, wn, t["mu"], t["mu_w"])
-        elif cfg.solution == "transit":
-            spectrum = transit_depth(ext, rad_cm, self.system.r_star * 100.0)
-        else:
-            raise ValueError(f"unknown solution {cfg.solution!r}")
+        return T_safe, q, rad_cm, ext, valid
 
-        # 6. optional energy-balance veto (BARTfunc.py:366-383)
-        if cfg.ebalance and cfg.solution in ("eclipse", "direct"):
-            sysm = self.system
-            e_in = (
-                const.SIGMA_SB * sysm.t_star**4 * sysm.r_star**2
-                * np.pi * sysm.r_planet**2 / sysm.sma**2 * const.JOULE_TO_ERG
-            )
-            e_out = jnp.trapezoid(spectrum, wn) * 4.0 * (
-                sysm.r_planet * 100.0
-            ) ** 2
-            valid &= e_out <= e_in
-
-        # 7. band integration (BARTfunc.py:385-396; star division folded
-        #    into the band matrix for eclipse)
-        bandflux = spectrum @ t["band_w"].T
-        return bandflux, spectrum, valid
+    def diagnostics(self, params: jax.Array):
+        """Atmospheric-structure intermediates for post-processing
+        (contribution functions, transmittance, PT envelopes):
+        (T[K], q[layer,spec], radius[cm], extinction[layer,wn], valid).
+        The reference obtains these by re-running the transit binary
+        with savefiles (code/cf.py:37-94); here they fall out of the
+        forward model directly."""
+        t = self._tables
+        return self._atmosphere(params.astype(self.dtype), t)
 
     # convenience views used by tests/tools
     @property
