@@ -295,3 +295,32 @@ def test_partition_function_sanity():
     # constants cancel in ratios; approx gives the rot-vib part)
     qh2o = partition_function("H2O")
     assert 30 < float(qh2o(296.0)) < 300
+
+
+def test_native_parser_parity(tmp_path):
+    """Native C++ scanner produces identical arrays to the numpy parser."""
+    import shutil
+
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    rng = np.random.default_rng(7)
+    recs = []
+    for _ in range(500):
+        wn = 2000 + 3000 * rng.random()
+        s = 10 ** (-25 + 6 * rng.random())
+        el = 3000 * rng.random()
+        recs.append(
+            " 61" + f"{wn:12.6f}" + f" {s:9.3E}" + " 7.845E+00"
+            + f"{0.05:.4f}"[1:] + f"{0.08:.4f}"[1:] + f"{el:10.4f}"
+            + "0.73" + "-.007280" + " " * 93
+        )
+    path = tmp_path / "t.par"
+    path.write_text("\n".join(recs) + "\n")
+
+    from bart_tpu.native import hitran_native
+
+    a = hitran_native.read_par(str(path))["CH4"]
+    b = parse_par_bytes(path.read_bytes())["CH4"]
+    for f in ("wn0", "s296", "elower", "gamma_air", "gamma_self", "n_air"):
+        np.testing.assert_allclose(getattr(a, f), getattr(b, f), rtol=1e-12)
+    np.testing.assert_array_equal(a.iso, b.iso)
