@@ -100,20 +100,29 @@ def build_opacity_grid(
         tiles = tile_lines(ll, wn_grid, cutoff, tile_size=tile_size)
         q_table = (q_tables or {}).get(name)
 
+        # One compiled program for the whole build: lax.map over
+        # condition batches (sequential on device, so peak memory stays
+        # one batch) — a single dispatch instead of ncond/cond_batch
+        # round-trips through the host.
+        nb = -(-ncond // cond_batch)
+        tb = np.full(nb * cond_batch, conds_T[-1])
+        pb = np.full(nb * cond_batch, conds_p[-1])
+        tb[:ncond] = conds_T
+        pb[:ncond] = conds_p
+        tb = jnp.asarray(tb.reshape(nb, cond_batch))
+        pb = jnp.asarray(pb.reshape(nb, cond_batch))
+
         fn = jax.jit(
-            lambda T, p, tiles=tiles, q_table=q_table: cross_section_grid(
-                tiles, T, p, spec, nwidth=nwidth, q_table=q_table
-            ).astype(dtype)
+            lambda tb, pb, tiles=tiles, q_table=q_table: jax.lax.map(
+                lambda args: cross_section_grid(
+                    tiles, args[0], args[1], spec, nwidth=nwidth,
+                    q_table=q_table,
+                ).astype(dtype),
+                (tb, pb),
+            )
         )
-        for start in range(0, ncond, cond_batch):
-            end = min(start + cond_batch, ncond)
-            # pad the last batch to keep one compiled shape
-            tb = np.full(cond_batch, conds_T[start])
-            pb = np.full(cond_batch, conds_p[start])
-            tb[: end - start] = conds_T[start:end]
-            pb[: end - start] = conds_p[start:end]
-            out = np.asarray(fn(jnp.asarray(tb), jnp.asarray(pb)))
-            sigma[im, start:end] = out[: end - start]
+        out = np.asarray(fn(tb, pb)).reshape(nb * cond_batch, nW)
+        sigma[im] = out[:ncond]
 
     return OpacityGrid(
         species=species,
