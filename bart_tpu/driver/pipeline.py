@@ -340,6 +340,9 @@ class Pipeline:
             savefile=os.path.join(self.date_dir, "output.npy"),
             savemodel=(self._out(cfg.savemodel, "models.npy")
                        if cfg.savemodel else None),
+            modelper=cfg.modelper,
+            checkpoint=os.path.join(self.date_dir, "mcmc_checkpoint.npz"),
+            resume=self.resume,
             logfile=os.path.join(self.date_dir, cfg.logfile),
             verbose=not cfg.quiet,
             dtype=self.dtype,

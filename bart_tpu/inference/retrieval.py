@@ -31,7 +31,37 @@ from bart_tpu.inference.gr import gelman_rubin
 from bart_tpu.inference.likelihood import Likelihood, ParamSpace
 from bart_tpu.inference.samplers import EnsembleSampler, SamplerState
 
-__all__ = ["RetrievalResult", "run_mcmc", "least_squares_prefit"]
+__all__ = ["RetrievalResult", "run_mcmc", "least_squares_prefit",
+           "save_checkpoint", "load_checkpoint"]
+
+
+def save_checkpoint(path: str, state: SamplerState, pos_chunks, model_chunks,
+                    done_iters: int, key) -> None:
+    """Persist the full sampler state mid-run (capability the reference
+    lacks: its chains restart from zero, SURVEY.md section 5)."""
+    arrays = {f"state/{k}": np.asarray(v) for k, v in state._asdict().items()}
+    arrays["done_iters"] = np.asarray(done_iters)
+    arrays["key"] = jax.random.key_data(key)
+    arrays["posterior"] = (
+        np.concatenate(pos_chunks, axis=2) if pos_chunks
+        else np.zeros((0, 0, 0))
+    )
+    if model_chunks:
+        arrays["models"] = np.concatenate(model_chunks, axis=2)
+    np.savez(path, **arrays)
+
+
+def load_checkpoint(path: str):
+    """-> (state, pos_chunks, model_chunks, done_iters, key)."""
+    z = np.load(path)
+    state = SamplerState(**{
+        k.split("/", 1)[1]: jnp.asarray(z[k])
+        for k in z.files if k.startswith("state/")
+    })
+    pos_chunks = [z["posterior"]] if z["posterior"].size else []
+    model_chunks = [z["models"]] if "models" in z.files else []
+    key = jax.random.wrap_key_data(jnp.asarray(z["key"]))
+    return state, pos_chunks, model_chunks, int(z["done_iters"]), key
 
 
 @dataclasses.dataclass
@@ -84,7 +114,11 @@ def run_mcmc(
     init: np.ndarray | None = None,
     savefile: str | None = None,
     savemodel: str | None = None,
+    modelper: int = 0,
     logfile: str | None = None,
+    checkpoint: str | None = None,
+    checkpoint_every: int = 20,
+    resume: bool = False,
     fgamma: float = 1.0,
     verbose: bool = True,
     dtype=jnp.float64,
@@ -135,15 +169,22 @@ def run_mcmc(
     )
     key = jax.random.key(seed)
     key, k0 = jax.random.split(key)
-    state = sampler.init_state(k0, init_free, dtype=dtype)
-
-    iters_per_chain = max(int(np.ceil(numit / nchains)), block)
-    nblocks = int(np.ceil(iters_per_chain / block))
 
     pos_chunks, model_chunks = [], []
+    done0 = 0
+    if resume and checkpoint and os.path.isfile(checkpoint):
+        state, pos_chunks, model_chunks, done0, key = load_checkpoint(
+            checkpoint
+        )
+        log(f"resumed from {checkpoint} at iteration {done0}")
+    else:
+        state = sampler.init_state(k0, init_free, dtype=dtype)
+
+    iters_per_chain = max(int(np.ceil(numit / nchains)), block)
+    nblocks = int(np.ceil(max(iters_per_chain - done0, 0) / block))
     psrf = np.full(space.nfree, np.inf)
     converged = False
-    done_iters = 0
+    done_iters = done0
     for ib in range(nblocks):
         key, kb = jax.random.split(key)
         state, pb, lb, mb = sampler.run_block(state, kb, block)
@@ -152,6 +193,10 @@ def run_mcmc(
         pos_chunks.append(np.asarray(pb).transpose(1, 2, 0))
         if savemodel:
             model_chunks.append(np.asarray(mb).transpose(1, 2, 0))
+
+        if checkpoint and (ib + 1) % checkpoint_every == 0:
+            save_checkpoint(checkpoint, state, pos_chunks, model_chunks,
+                            done_iters, key)
 
         if grtest and done_iters > burnin and (ib + 1) % 10 == 0:
             chains = np.concatenate(pos_chunks, axis=2)[:, :, burnin:]
@@ -197,8 +242,20 @@ def run_mcmc(
 
     if savefile:
         np.save(savefile, posterior)
+    if checkpoint:
+        save_checkpoint(checkpoint, state, pos_chunks, model_chunks,
+                        done_iters, key)
     if savemodel and models is not None:
         np.save(savemodel, models)
+        if modelper > 0:
+            # split into numbered files every modelper iterations per
+            # chain (reference savemodel/modelper, BART.py:208-216,
+            # :582-597)
+            base, ext = os.path.splitext(savemodel)
+            nsplit = -(-models.shape[2] // modelper)
+            for k in range(nsplit):
+                np.save(f"{base}{k:02d}{ext}",
+                        models[:, :, k * modelper:(k + 1) * modelper])
     if logfile:
         with open(logfile, "w") as f:
             f.write("\n".join(log_lines) + "\n\n")

@@ -80,6 +80,7 @@ def best_fit_outputs(fm, like, space, result, out_dir: str,
         abundances=np.asarray(q_best), radius=np.asarray(rad_cm) / 1e5,
     )
     write_atm_transit(atm_best, os.path.join(out_dir, "bestfit.atm"))
+    plots.abundances_plot(atm_best, os.path.join(out_dir, "abundances" + fext))
 
     # --- spectrum plot with data ---
     filters = store.get("filters", [])

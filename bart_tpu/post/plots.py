@@ -154,3 +154,21 @@ def spectrum_plot(
     fig.tight_layout()
     fig.savefig(path, dpi=120)
     plt.close(fig)
+
+
+def abundances_plot(atm, path: str, species: list[str] | None = None) -> None:
+    """Vertical abundance profiles (reference bestFit.plotabun,
+    code/bestFit.py:691-745)."""
+    species = species or atm.species
+    fig, ax = plt.subplots(figsize=(6, 7))
+    for name in species:
+        j = atm.species.index(name)
+        ax.loglog(atm.abundances[:, j], atm.pressure, lw=1.5, label=name)
+    ax.invert_yaxis()
+    ax.set_xlabel("Mole mixing fraction")
+    ax.set_ylabel("Pressure (bar)")
+    ax.set_xlim(1e-12, 2)
+    ax.legend(loc="best", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)

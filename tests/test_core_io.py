@@ -183,3 +183,46 @@ def test_radius_profile_anchor_on_grid():
         radius_profile(jnp.asarray(p), jnp.asarray(T), jnp.asarray(mu), p0, 70000.0, 9.0)
     )
     np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_kurucz_pck_parser(tmp_path):
+    """Synthetic .pck grid in the reference-documented format
+    (code/kurucz_inten.py:160-317)."""
+    from bart_tpu.io.kurucz import blackbody_star, read_kurucz_pck, stellar_flux
+
+    nw = 8
+    waves_nm = np.array([500.0, 800.0, 1200.0, 1700.0, 2300.0, 3000.0,
+                         3800.0, 4700.0])
+    lines = ["SOME HEADER", "END"]
+    lines.append("".join(f"{w:10.2f}" for w in waves_nm))
+    models = [(5750.0, 4.0), (5750.0, 4.5), (6000.0, 4.0), (6000.0, 4.5)]
+    fluxes = {}
+    for i, (t, g) in enumerate(models):
+        lines.append(f"TEFF {t:7.0f}  GRAVITY {g:7.5f} MODEL")
+        f1 = (i + 1) * np.arange(1, nw + 1, dtype=float)
+        fluxes[(t, g)] = f1
+        lines.append("".join(f"{v:10.3E}" for v in f1))   # inten
+        lines.append("".join(f"{v:10.3E}" for v in f1 * 0.5))  # nainten
+    path = tmp_path / "grid.pck"
+    path.write_text("\n".join(lines) + "\n")
+
+    grid = read_kurucz_pck(str(path))
+    assert grid.inten.shape == (4, nw)
+    np.testing.assert_allclose(grid.temp, [5750, 5750, 6000, 6000])
+    np.testing.assert_allclose(grid.wave_m, waves_nm * 1e-9)
+    # x4 Eddington, x1e-3 cgs->MKS:
+    np.testing.assert_allclose(grid.inten[0], fluxes[(5750.0, 4.0)] * 4e-3,
+                               rtol=1e-5)
+
+    # nearest-model selection (reference wine.readkurucz semantics)
+    fl, wn, tmod, gmod = stellar_flux(grid, 5800.0, 4.1)
+    assert tmod == 5750.0 and gmod == 4.0
+    assert np.all(np.diff(wn) > 0)
+    # interp mode runs and lands between bracket models
+    fl2, _, _, _ = stellar_flux(grid, 5875.0, 4.25, mode="interp")
+    assert np.all(fl2 > 0)
+
+    # blackbody fallback: Wien check
+    wngrid = np.linspace(500.0, 20000.0, 2000)
+    bb, _ = blackbody_star(wngrid, 6000.0)
+    assert wngrid[np.argmax(bb)] == pytest.approx(1.9611 * 6000.0, rel=0.01)

@@ -166,3 +166,50 @@ def test_logfile_format(tmp_path):
     # output.npy layout [nchain, nfree, niter]
     post = np.load(tmp_path / "output.npy")
     assert post.shape[0] == 4 and post.shape[1] == 2
+
+
+def test_checkpoint_resume(tmp_path):
+    """A run interrupted at iteration k and resumed reproduces the
+    uninterrupted run's sample stream exactly (bitwise resume)."""
+
+    def forward(p):
+        return p, p, jnp.asarray(True)
+
+    space = ParamSpace([0.0, 0.0], [-5, -5], [5, 5], [0.1, 0.1])
+    like = Likelihood(forward, space, np.array([1.0, -1.0]),
+                      np.array([0.3, 0.3]))
+    from bart_tpu.inference.retrieval import run_mcmc
+
+    ckpt = str(tmp_path / "ck.npz")
+    # full run in one go:
+    full = run_mcmc(like, space, nchains=4, numit=3200, burnin=0,
+                    walk="snooker", seed=11, block=100, verbose=False,
+                    grtest=False)
+    # first half with checkpointing (checkpoint_every=4 blocks=400 it):
+    run_mcmc(like, space, nchains=4, numit=1600, burnin=0,
+             walk="snooker", seed=11, block=100, verbose=False,
+             grtest=False, checkpoint=ckpt)
+    # resume to the full length:
+    resumed = run_mcmc(like, space, nchains=4, numit=3200, burnin=0,
+                       walk="snooker", seed=11, block=100, verbose=False,
+                       grtest=False, checkpoint=ckpt, resume=True)
+    assert resumed.posterior.shape == full.posterior.shape
+    np.testing.assert_allclose(resumed.posterior, full.posterior, rtol=1e-12)
+
+
+def test_modelper_split(tmp_path):
+    def forward(p):
+        return p, p, jnp.asarray(True)
+
+    space = ParamSpace([0.0], [-5], [5], [0.1])
+    like = Likelihood(forward, space, np.array([1.0]), np.array([0.3]))
+    from bart_tpu.inference.retrieval import run_mcmc
+
+    sm = str(tmp_path / "models.npy")
+    res = run_mcmc(like, space, nchains=4, numit=1200, burnin=0,
+                   walk="mrw", seed=12, block=100, verbose=False,
+                   grtest=False, savemodel=sm, modelper=100)
+    whole = np.load(sm)
+    parts = [np.load(str(tmp_path / f"models{k:02d}.npy"))
+             for k in range(-(-whole.shape[2] // 100))]
+    np.testing.assert_allclose(np.concatenate(parts, axis=2), whole)

@@ -257,3 +257,31 @@ def test_forward_cloud_and_ray():
     bf_deep, _, _ = fm.jitted()(jnp.asarray(params_deep))
     assert np.all(np.asarray(bf_cloud) >= np.asarray(bf_deep) - 1e-12)
     assert float(jnp.min(bf_cloud)) > float(jnp.min(bf_deep))
+
+
+def test_forward_direct_solution():
+    """'direct' geometry: raw emergent flux, no stellar normalization
+    (reference makecfg lowers direct->eclipse for transit but BART
+    band-integrates the raw spectrum, BARTfunc.py:394-396)."""
+    fm = make_demo_forward("direct")
+    bf, spectrum, valid = fm.jitted()(jnp.asarray(DEMO_PARAMS))
+    assert bool(valid)
+    # direct band fluxes are raw fluxes: order pi*B(T~1400K) magnitude
+    from bart_tpu.rt.planck import planck_wn
+
+    approx = np.pi * float(planck_wn(jnp.asarray(3000.0), 1420.0))
+    assert 0.05 * approx < float(jnp.median(bf)) < 20 * approx
+
+
+def test_forward_energy_balance_veto():
+    # wide Tmax so the veto (not the T-bound check) is what trips
+    fm = make_demo_forward("eclipse", ebalance=True, tmax=4000.0)
+    # normal params: planet emits less than it receives -> valid
+    _, _, valid = fm.jitted()(jnp.asarray(DEMO_PARAMS))
+    assert bool(valid)
+    # beta = 2.2 -> in-band e_out exceeds e_in -> vetoed while T is
+    # still inside [tmin, tmax]
+    hot = DEMO_PARAMS.copy()
+    hot[4] = 2.2
+    _, _, valid_hot = fm.jitted()(jnp.asarray(hot))
+    assert not bool(valid_hot)
