@@ -166,6 +166,7 @@ def run_mcmc(
         pmin=space.free_min,
         pmax=space.free_max,
         stepsize=space.stepsize[space.ifree],
+        fgamma=fgamma,
     )
     key = jax.random.key(seed)
     key, k0 = jax.random.split(key)

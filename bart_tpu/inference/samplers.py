@@ -74,6 +74,7 @@ class EnsembleSampler:
     snooker_frac: float = 0.1
     gamma_jump_frac: float = 0.1       # demc full-jump probability
     eps: float = 1e-6                  # demc jitter scale
+    fgamma: float = 1.0                # scale on the DE gamma (MC3 fgamma)
 
     def __post_init__(self):
         if self.nz == 0:
@@ -142,7 +143,7 @@ class EnsembleSampler:
             hi12 = jnp.maximum(jnp.arange(n), r1)
             r2 = jnp.where(r2 >= lo12, r2 + 1, r2)
             r2 = jnp.where(r2 >= hi12, r2 + 1, r2)
-            gamma = 2.38 / jnp.sqrt(2.0 * d)
+            gamma = self.fgamma * 2.38 / jnp.sqrt(2.0 * d)
             jump = jax.random.uniform(k3, (n, 1), dtype) < self.gamma_jump_frac
             g = jnp.where(jump, 1.0, gamma)
             noise = self.eps * jax.random.normal(k4, (n, d), dtype)
@@ -156,7 +157,7 @@ class EnsembleSampler:
             z2 = jax.random.randint(keys[1], (n,), 0, nz_eff)
             z3 = jax.random.randint(keys[2], (n,), 0, nz_eff)
             Z = state.z_archive
-            gamma = 2.38 / jnp.sqrt(2.0 * d)
+            gamma = self.fgamma * 2.38 / jnp.sqrt(2.0 * d)
             noise = self.eps * jax.random.normal(keys[3], (n, d), dtype)
             x_par = pos + gamma * (Z[z1] - Z[z2]) + noise
 

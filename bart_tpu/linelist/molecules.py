@@ -76,6 +76,15 @@ MOLECULES: dict[str, Molecule] = {
                     ((1009.0, 1),)),
     "VO": Molecule("VO", 66.938871, 4.20, True, 1, (1.0086,),
                    ((1011.3, 1),)),
+    # atoms (for equilibrium atmospheres and mean-molar-mass bookkeeping)
+    "H": Molecule("H", 1.007825, 2.40, None),
+    "C": Molecule("C", 12.000000, 3.00, None),
+    "N": Molecule("N", 14.003074, 3.00, None),
+    "O": Molecule("O", 15.994915, 2.90, None),
+    "S": Molecule("S", 31.972071, 3.50, None),
+    "Fe": Molecule("Fe", 55.934942, 3.80, None),
+    "Ti": Molecule("Ti", 47.947946, 3.90, None),
+    "V": Molecule("V", 50.943964, 3.80, None),
     "H-": Molecule("H-", 1.008548, 2.0, None),
     "e-": Molecule("e-", 5.48579909e-4, 0.1, None),
 }

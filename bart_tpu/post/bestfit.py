@@ -124,12 +124,9 @@ def best_fit_outputs(fm, like, space, result, out_dir: str,
     flat = posterior.transpose(1, 0, 2).reshape(space.nfree, -1)
     nsamp = min(300, flat.shape[1])
     idx = np.linspace(0, flat.shape[1] - 1, nsamp).astype(int)
-    t_samples = []
-    for k in idx:
-        full = space.expand(jnp.asarray(flat[:, k]))
-        T_k, _, _, _, _ = fm.diagnostics(full)
-        t_samples.append(np.asarray(T_k))
+    full_batch = space.expand(jnp.asarray(flat[:, idx].T))
+    T_batch, _, _, _, _ = fm.diagnostics_batch()(full_batch)
     plots.pt_envelope(
-        pressure, np.asarray(t_samples), np.asarray(T_best),
+        pressure, np.asarray(T_batch), np.asarray(T_best),
         os.path.join(out_dir, "PT_envelope" + fext), cf_overlay=cf_overlay,
     )

@@ -334,6 +334,13 @@ class ForwardModel:
         t = self._tables
         return self._atmosphere(params.astype(self.dtype), t)
 
+    def diagnostics_batch(self):
+        """Jitted, vmapped diagnostics over a parameter batch
+        (posterior PT-envelope sampling)."""
+        if getattr(self, "_diag_batch", None) is None:
+            self._diag_batch = jax.jit(jax.vmap(self.diagnostics))
+        return self._diag_batch
+
     # convenience views used by tests/tools
     @property
     def wn(self):

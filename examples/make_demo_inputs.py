@@ -48,6 +48,24 @@ def main(outdir="examples/demo_inputs"):
     write_cia(CiaTable(("H2", "H2"), temps, wn, absorption), cia_path)
     print(f"wrote {cia_path}")
 
+    # WASP-12b-class 4-molecule line database (910-3400 cm-1, the
+    # reference's WASP-12b example range):
+    species_bands = {
+        "H2O": (1300.0, 1600.0, 1900.0, 3150.0),
+        "CO2": (950.0, 1350.0, 2350.0),
+        "CO":  (2143.0,),
+        "CH4": (1300.0, 3020.0),
+    }
+    lines = {}
+    for k, (name, centers) in enumerate(species_bands.items()):
+        lines[name] = synthetic_linelist(
+            name, 900.0, 3400.0, 20000, seed=30 + k, band_centers=centers,
+        )
+    tli4 = TliData(list(lines), lines, 900.0, 3400.0)
+    p4 = os.path.join(outdir, "wasp12b_4mol.tli.npz")
+    save_tli(tli4, p4)
+    print(f"wrote {p4} ({tli4.total_lines()} lines)")
+
 
 if __name__ == "__main__":
     main(*(sys.argv[1:] or []))
