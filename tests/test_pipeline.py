@@ -1,0 +1,101 @@
+"""End-to-end pipeline/CLI integration tests (small problem sizes)."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from bart_tpu.driver.config import RetrievalConfig, load_config, load_data_array
+from bart_tpu.driver.pipeline import Pipeline
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEMO_CFG = os.path.join(REPO, "examples", "demo_eclipse.cfg")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def demo_inputs():
+    if not os.path.isfile(
+        os.path.join(REPO, "examples", "demo_inputs", "CH4_demo.tli.npz")
+    ):
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "examples", "make_demo_inputs.py")],
+            check=True, cwd=REPO,
+        )
+
+
+def test_config_parses_reference_demo():
+    """The reference's own demo config parses (union namespace)."""
+    ref_cfg = "/root/reference/examples/demo/BART_eclipse.cfg"
+    if not os.path.isfile(ref_cfg):
+        pytest.skip("reference not mounted")
+    with pytest.warns(UserWarning, match="ignored"):
+        cfg = load_config(ref_cfg)
+    assert cfg.solution == "eclipse"
+    assert cfg.molfit == ["CH4"]
+    assert cfg.walk == "snooker"
+    assert cfg.numit == 50000
+    assert cfg.wllow == 2.0 and cfg.wlhigh == 4.0
+    np.testing.assert_allclose(
+        cfg.params, [-2.0, 0.0, 1.0, 0.0, 0.98, -0.5]
+    )
+    assert len(load_data_array(cfg.data)) == 10
+    assert len(cfg.filters) == 10
+
+
+def test_config_cli_overrides():
+    cfg = load_config(DEMO_CFG, {"numit": "1234", "nchains": "3",
+                                 "solution": "transit"})
+    assert cfg.numit == 1234 and cfg.nchains == 3
+    assert cfg.solution == "transit"
+
+
+def test_load_data_array(tmp_path):
+    assert load_data_array(None) is None
+    np.testing.assert_allclose(load_data_array("1.0 2e-3"), [1.0, 2e-3])
+    p = tmp_path / "d.npy"
+    np.save(p, np.array([3.0, 4.0]))
+    np.testing.assert_allclose(load_data_array(str(p)), [3.0, 4.0])
+    t = tmp_path / "d.txt"
+    t.write_text("5.0\n6.0\n")
+    np.testing.assert_allclose(load_data_array(str(t)), [5.0, 6.0])
+
+
+def test_full_pipeline_tiny(tmp_path):
+    """Complete pipeline (uniform atm path) at tiny sizes."""
+    out = str(tmp_path / "out")
+    cfg = load_config(DEMO_CFG, {
+        "loc_dir": out, "n_layers": "20", "tempdelt": "650",
+        "wndelt": "25", "numit": "2400", "nchains": "4", "burnin": "100",
+        "quiet": "True",
+    })
+    pipe = Pipeline(cfg)
+    result = pipe.run()
+    assert result is not None
+    assert os.path.isfile(os.path.join(out, "output.npy"))
+    assert os.path.isfile(os.path.join(out, "MCMC.log"))
+    assert os.path.isfile(os.path.join(out, "bestfit_spectrum.dat"))
+    assert os.path.isfile(os.path.join(out, "PT_envelope.png"))
+    assert os.path.isfile(os.path.join(out, "mcmc_checkpoint.npz"))
+    post = np.load(os.path.join(out, "output.npy"))
+    assert post.shape[0] == 4 and np.all(np.isfinite(post))
+
+    # --justPlots path reloads from disk:
+    pipe2 = Pipeline(cfg, just_plots=True, resume=True)
+    pipe2.run()
+
+
+def test_just_opacity_stage(tmp_path):
+    out = str(tmp_path / "op")
+    cfg = load_config(DEMO_CFG, {
+        "loc_dir": out, "n_layers": "12", "tempdelt": "1300",
+        "wndelt": "50", "quiet": "True",
+    })
+    grid = Pipeline(cfg, just_opacity=True).run()
+    assert os.path.isfile(os.path.join(out, "opacity_CH4.npz"))
+    assert np.asarray(grid.sigma).ndim == 4
+    # rerun reuses the file (resume semantics are file-presence based)
+    grid2 = Pipeline(cfg, just_opacity=True).run()
+    np.testing.assert_allclose(np.asarray(grid2.sigma), np.asarray(grid.sigma))
