@@ -110,6 +110,8 @@ class ForwardModel:
         bands: BandMatrix,
         cia_tables: list[CiaTable] = (),
         species_masses: np.ndarray | None = None,
+        broadening=None,
+        nwidth: float = 20.0,
         dtype=jnp.float32,
     ):
         self.config = config
@@ -150,14 +152,25 @@ class ForwardModel:
             species_masses = np.array([get_molecule(s).mass for s in species])
         t["masses"] = jnp.asarray(species_masses, dtype)
 
-        # --- opacity table: map table species -> atmosphere indices ---
-        self.opacity = opacity
-        self.t_min = float(opacity.t_grid[0])
-        self.t_step = float(opacity.t_grid[1] - opacity.t_grid[0])
-        self.n_t = len(opacity.t_grid)
-        t["sigma"] = opacity.sigma.astype(dtype)
+        # --- opacity: precomputed grid OR on-the-fly line tiles ---
+        # (the reference equally supports gridded and direct extinction;
+        # SURVEY.md 2.2 "on-the-fly" mode, manual tex:776-778)
+        if isinstance(opacity, dict):
+            self.opacity = None
+            self.line_tiles = opacity          # {species: LineTiles}
+            opac_species = list(opacity)
+            self.broadening = broadening
+            self.nwidth = nwidth
+        else:
+            self.opacity = opacity
+            self.line_tiles = None
+            self.t_min = float(opacity.t_grid[0])
+            self.t_step = float(opacity.t_grid[1] - opacity.t_grid[0])
+            self.n_t = len(opacity.t_grid)
+            t["sigma"] = opacity.sigma.astype(dtype)
+            opac_species = opacity.species
         self.i_opac = np.array(
-            [int(np.where(sp == m)[0][0]) for m in opacity.species], int
+            [int(np.where(sp == m)[0][0]) for m in opac_species], int
         )
 
         # --- CIA: resolve collider indices (reference cia.c) ---
@@ -289,9 +302,27 @@ class ForwardModel:
 
         # 4. extinction [cm-1] per (layer, wn)
         n_tot = t["p_barye"] / (const.K_BOLTZ * T_safe)          # [cm-3]
-        sigma = interp_opacity(
-            t["sigma"], self.t_min, self.t_step, self.n_t, T_safe,
-        )                                                        # [mol, L, wn]
+        if self.line_tiles is not None:
+            # on-the-fly line-by-line path (no opacity grid; the
+            # reference's non-gridded extinction mode)
+            from bart_tpu.opacity.extinction import (
+                BroadeningSpec, cross_section_grid,
+            )
+
+            bspec = self.broadening or BroadeningSpec()
+            sigma = jnp.stack(
+                [
+                    cross_section_grid(
+                        tiles, T_safe, t["p_barye"], bspec,
+                        nwidth=self.nwidth,
+                    ).astype(dtype)
+                    for tiles in self.line_tiles.values()
+                ]
+            )                                                    # [mol, L, wn]
+        else:
+            sigma = interp_opacity(
+                t["sigma"], self.t_min, self.t_step, self.n_t, T_safe,
+            )                                                    # [mol, L, wn]
         n_mol = (q[:, self.i_opac] * n_tot[:, None]).T           # [mol, L]
         ext = jnp.einsum("mlw,ml->lw", sigma, n_mol)
 

@@ -285,3 +285,53 @@ def test_forward_energy_balance_veto():
     hot[4] = 2.2
     _, _, valid_hot = fm.jitted()(jnp.asarray(hot))
     assert not bool(valid_hot)
+
+
+def test_forward_on_the_fly_matches_fine_grid():
+    """Table-free (on-the-fly) opacity path: agrees with a fine-T-grid
+    table to interpolation accuracy (the reference's non-gridded mode)."""
+    from bart_tpu.io.kurucz import blackbody_star
+    from bart_tpu.io.filters import read_filter as rf
+    from bart_tpu.opacity.extinction import tile_lines, wing_cutoff, BroadeningSpec
+    from bart_tpu.linelist.molecules import get_molecule
+    from bart_tpu.utils.grids import pressure_grid
+    from bart_tpu import constants as c
+
+    system = PlanetSystem.from_tep(f"{REF}/inputs/tep/HD209458b.tep")
+    pressure = pressure_grid(20, 1e-5, 100.0)
+    wn = np.arange(2500.0, 5001.0, 10.0)
+    species = ["H2", "He", "CH4"]
+    base_q = np.tile([0.85, 0.149, 1e-3], (20, 1))
+    ll = synthetic_linelist("CH4", 2500.0, 5000.0, 500, seed=12)
+
+    spec = BroadeningSpec()
+    mol = get_molecule("CH4")
+    cutoff = wing_cutoff(20.0, 5000.0, 400.0, 1e8, mol.mass * c.AMU,
+                         mol.diameter * 1e-8, spec)
+    tiles = {"CH4": tile_lines(ll, wn, cutoff, tile_size=64)}
+
+    filters = [rf(f"{REF}/inputs/filters/demo/fdemo{i:02d}.dat")
+               for i in (2, 5, 8)]
+    starfl, _ = blackbody_star(wn, system.t_star)
+    bands = build_band_matrix(wn, filters, star_flux=starfl, rprs=system.rprs)
+    config = ForwardConfig(solution="eclipse", pt_type="line", molfit=("CH4",))
+
+    fm_fly = ForwardModel(
+        config, wn_grid=wn, pressure=pressure, species=species,
+        base_abundances=base_q, opacity=tiles, system=system, bands=bands,
+        dtype=jnp.float64,
+    )
+    grid = build_opacity_grid({"CH4": ll}, wn,
+                              np.arange(400.0, 3001.0, 25.0),  # fine T grid
+                              pressure, cond_batch=40, dtype=jnp.float64)
+    fm_grid = ForwardModel(
+        config, wn_grid=wn, pressure=pressure, species=species,
+        base_abundances=base_q, opacity=grid, system=system, bands=bands,
+        dtype=jnp.float64,
+    )
+    p = jnp.asarray(DEMO_PARAMS)
+    bf_fly, _, v1 = fm_fly.jitted()(p)
+    bf_grid, _, v2 = fm_grid.jitted()(p)
+    assert bool(v1) and bool(v2)
+    np.testing.assert_allclose(np.asarray(bf_fly), np.asarray(bf_grid),
+                               rtol=2e-3)
