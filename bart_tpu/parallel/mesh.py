@@ -78,13 +78,38 @@ def shard_tables(tables: dict, mesh: Mesh) -> dict:
     }
 
 
+def pad_tables_for_mesh(tables: dict, mesh: Mesh) -> dict:
+    """Pad every wn-indexed table so the wn axis divides the mesh.
+
+    The wn grid pads by repeating its endpoint (zero-width trapezoid
+    segments -> no effect on integrals) and the band matrix pads with
+    zeros (padded points carry no band weight), so sharded results are
+    numerically identical to unsharded ones; the returned spectrum just
+    carries trailing padded samples.
+    """
+    n_wn_shards = mesh.shape["wn"]
+    nwave = tables["wn"].shape[0]
+    pad = (-nwave) % n_wn_shards
+    if pad == 0:
+        return dict(tables)
+    out = dict(tables)
+    out["wn"] = jnp.concatenate(
+        [tables["wn"], jnp.repeat(tables["wn"][-1:], pad)]
+    )
+    out["sigma"] = jnp.pad(tables["sigma"], ((0, 0),) * 3 + ((0, pad),))
+    out["band_w"] = jnp.pad(tables["band_w"], ((0, 0), (0, pad)))
+    return out
+
+
 def shard_model(fm, mesh: Mesh):
-    """Re-home a ForwardModel's tables onto the mesh in place.
+    """Re-home a ForwardModel's tables onto the mesh in place (padding
+    the wn axis to divide the mesh if needed).
 
     After this, jitted calls that close over the model see committed
     sharded arrays and XLA partitions the forward model along wn
     automatically (band integration contracts over wn -> one psum).
     """
-    fm._tables = shard_tables(fm._tables, mesh)
+    fm.n_wn_orig = int(fm._tables["wn"].shape[0])
+    fm._tables = shard_tables(pad_tables_for_mesh(fm._tables, mesh), mesh)
     fm._jitted = None
     return fm

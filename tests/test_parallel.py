@@ -1,0 +1,107 @@
+"""Sharded execution tests on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from bart_tpu.parallel.mesh import make_mesh, shard_model, table_shardings
+from test_rt import DEMO_PARAMS, make_demo_forward
+
+
+@pytest.fixture(scope="module")
+def fm():
+    return make_demo_forward("eclipse")
+
+
+def test_mesh_construction():
+    mesh = make_mesh(n_chain=2, n_wn=4)
+    assert mesh.shape == {"chain": 2, "wn": 4}
+    mesh1 = make_mesh(n_chain=1, n_wn=8)
+    assert mesh1.shape == {"chain": 1, "wn": 8}
+
+
+def test_sharded_forward_matches_unsharded(fm):
+    p = jnp.asarray(DEMO_PARAMS)
+    ref_bf, ref_spec, ref_valid = fm.jitted()(p)
+    ref_bf, ref_spec = np.asarray(ref_bf), np.asarray(ref_spec)
+
+    mesh = make_mesh(n_chain=1, n_wn=8)
+    shard_model(fm, mesh)
+    bf, spec, valid = fm.jitted()(p)
+    assert bool(valid)
+    # wn-sharded execution must be numerically identical (deterministic
+    # reductions; the 'bitwise-stable posterior' target); the spectrum
+    # carries trailing pad samples after sharding
+    np.testing.assert_allclose(np.asarray(bf), ref_bf, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(spec)[: fm.n_wn_orig], ref_spec, rtol=1e-12
+    )
+
+    # tables actually live sharded on the mesh:
+    sh = fm.tables["sigma"].sharding
+    assert isinstance(sh, NamedSharding)
+    assert sh.spec == P(None, None, None, "wn")
+
+
+def test_sharded_batched_chains(fm):
+    mesh = make_mesh(n_chain=2, n_wn=4)
+    shard_model(fm, mesh)
+    batch = jnp.asarray(np.tile(DEMO_PARAMS, (8, 1)))
+    batch = jax.device_put(batch, NamedSharding(mesh, P("chain", None)))
+    bf, spec, valid = fm.batched()(batch)
+    assert bool(jnp.all(valid))
+    np.testing.assert_allclose(
+        np.asarray(bf), np.broadcast_to(np.asarray(bf)[0], bf.shape),
+        rtol=1e-12,
+    )
+
+
+def test_sharded_mcmc_block(fm):
+    """Full snooker MCMC block over the mesh (the dryrun in pytest)."""
+    from bart_tpu.inference.likelihood import Likelihood, ParamSpace
+    from bart_tpu.inference.samplers import EnsembleSampler
+
+    mesh = make_mesh(n_chain=2, n_wn=4)
+    shard_model(fm, mesh)
+    truth = DEMO_PARAMS
+    data = np.asarray(fm.jitted()(jnp.asarray(truth))[0])
+    space = ParamSpace(
+        pinit=truth, pmin=[-5, -2, -2, 0, 0.55, -9],
+        pmax=[-1, 1, 1, 1, 1.2, 1.5],
+        stepsize=[0.01, 0.01, 0.0, 0.0, 0.001, 0.1],
+    )
+    like = Likelihood(fm, space, data, 0.03 * data)
+    sampler = EnsembleSampler(
+        loglike_fn=like, nfree=space.nfree, nmodel=len(data), nchains=8,
+        walk="snooker", pmin=space.free_min, pmax=space.free_max,
+        stepsize=space.stepsize[space.ifree],
+    )
+    key = jax.random.key(0)
+    state = sampler.init_state(key, dtype=jnp.float64)
+    chain_sh = NamedSharding(mesh, P("chain"))
+    state = state._replace(
+        positions=jax.device_put(state.positions, chain_sh),
+        loglike=jax.device_put(state.loglike, chain_sh),
+        models=jax.device_put(state.models, chain_sh),
+    )
+    state, pb, lb, mb = sampler.run_block(state, key, 3)
+    lb = np.asarray(lb)
+    assert lb.shape == (3, 8)
+    assert np.all(np.isfinite(lb))
+
+    # determinism across mesh layouts: same seed on a 1x8 mesh
+    fm2 = make_demo_forward("eclipse")
+    mesh2 = make_mesh(n_chain=1, n_wn=8)
+    shard_model(fm2, mesh2)
+    like2 = Likelihood(fm2, space, data, 0.03 * data)
+    sampler2 = EnsembleSampler(
+        loglike_fn=like2, nfree=space.nfree, nmodel=len(data), nchains=8,
+        walk="snooker", pmin=space.free_min, pmax=space.free_max,
+        stepsize=space.stepsize[space.ifree],
+    )
+    state2 = sampler2.init_state(jax.random.key(0), dtype=jnp.float64)
+    state2, pb2, lb2, mb2 = sampler2.run_block(state2, jax.random.key(0), 3)
+    np.testing.assert_allclose(np.asarray(lb2), lb, rtol=1e-12)
