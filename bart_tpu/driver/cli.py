@@ -35,6 +35,8 @@ def main(argv=None) -> int:
                         help="re-run only the post-processing")
     parser.add_argument("--resume", action="store_true",
                         help="reuse existing stage outputs in loc_dir")
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="write a jax.profiler device trace to DIR")
     args, extra = parser.parse_known_args(argv)
 
     # --key value overrides:
@@ -56,7 +58,10 @@ def main(argv=None) -> int:
         just_plots=args.justPlots,
         resume=args.resume,
     )
-    pipe.run()
+    from bart_tpu.utils.profiling import device_trace
+
+    with device_trace(args.profile):
+        pipe.run()
     return 0
 
 

@@ -68,30 +68,42 @@ class Pipeline:
         return name
 
     def run(self):
+        from bart_tpu.utils.profiling import stage_timer
+
         cfg = self.cfg
         os.makedirs(self.date_dir, exist_ok=True)
+        tlog = os.path.join(self.date_dir, "stage_timing.jsonl")
+        quiet = cfg.quiet
 
-        pressure = self.stage_pressure()
-        elems = self.stage_abundances()
-        atm = self.stage_atmosphere(pressure, elems)
+        with stage_timer("pressure", tlog, not quiet):
+            pressure = self.stage_pressure()
+        with stage_timer("abundances", tlog, not quiet):
+            elems = self.stage_abundances()
+        with stage_timer("atmosphere", tlog, not quiet):
+            atm = self.stage_atmosphere(pressure, elems)
         if self.just_tea:
             self.log("--justTEA: stopping after atmosphere generation.")
             return atm
 
         wn = cfg.wavenumber_grid()
-        tli = self.stage_linelist(wn)
-        grid = self.stage_opacity(tli, wn, pressure)
+        with stage_timer("linelist", tlog, not quiet):
+            tli = self.stage_linelist(wn)
+        with stage_timer("opacity", tlog, not quiet):
+            grid = self.stage_opacity(tli, wn, pressure)
         if self.just_opacity:
             self.log("--justOpacity: stopping after opacity table.")
             return grid
 
-        fm, like, space = self.stage_forward(atm, wn, grid)
+        with stage_timer("forward_setup", tlog, not quiet):
+            fm, like, space = self.stage_forward(atm, wn, grid)
         if self.just_plots:
             result = None
         else:
-            result = self.stage_mcmc(like, space)
+            with stage_timer("mcmc", tlog, not quiet):
+                result = self.stage_mcmc(like, space)
         if cfg.plots:
-            self.stage_post(fm, like, space, result)
+            with stage_timer("post", tlog, not quiet):
+                self.stage_post(fm, like, space, result)
         return result
 
     # ------------------------------------------------------------------
