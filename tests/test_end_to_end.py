@@ -89,3 +89,73 @@ def test_demo_transit_retrieval_shape(demo_problem):
     assert np.isfinite(res.best_loglike)
     # best-fit chi2 should be small (we started at truth)
     assert -2 * res.best_loglike < 10.0
+
+
+def test_retrieval_other_pt_models(demo_problem):
+    """Exercise a second PT family end-to-end (madhu_noinv, 5 params)."""
+    import numpy as np
+
+    from bart_tpu.io.kurucz import blackbody_star
+    from bart_tpu.io.filters import read_filter as rf
+    from bart_tpu.io.tep import PlanetSystem
+    from bart_tpu.linelist.tli import synthetic_linelist
+    from bart_tpu.obs.bands import build_band_matrix
+    from bart_tpu.opacity.grid import build_opacity_grid
+    from bart_tpu.rt.forward import ForwardConfig, ForwardModel
+    from bart_tpu.utils.grids import pressure_grid
+
+    REF = "/root/reference"
+    system = PlanetSystem.from_tep(f"{REF}/inputs/tep/HD209458b.tep")
+    pressure = pressure_grid(30, 1e-5, 100.0)
+    wn = np.arange(2500.0, 5001.0, 20.0)
+    ll = synthetic_linelist("CH4", 2500.0, 5000.0, 800, seed=13)
+    grid = build_opacity_grid({"CH4": ll}, wn,
+                              np.arange(400.0, 3001.0, 400.0), pressure,
+                              cond_batch=40, dtype=jnp.float64)
+    filters = [rf(f"{REF}/inputs/filters/demo/fdemo{i:02d}.dat")
+               for i in range(1, 11)]
+    starfl, _ = blackbody_star(wn, system.t_star)
+    bands = build_band_matrix(wn, filters, star_flux=starfl,
+                              rprs=system.rprs)
+    config = ForwardConfig(solution="eclipse", pt_type="madhu_noinv",
+                           molfit=("CH4",))
+    fm = ForwardModel(config, wn_grid=wn, pressure=pressure,
+                      species=["H2", "He", "CH4"],
+                      base_abundances=np.tile([0.85, 0.149, 1e-3], (30, 1)),
+                      opacity=grid, system=system, bands=bands,
+                      dtype=jnp.float64)
+    # params: a1, a2, p1, p3, T3, CH4
+    truth = np.array([0.4, 0.25, 0.005, 2.0, 1500.0, -0.5])
+    bf, _, valid = fm.jitted()(jnp.asarray(truth))
+    assert bool(valid)
+    data = np.asarray(bf)
+    space = ParamSpace(
+        pinit=truth,
+        pmin=[0.2, 0.1, 1e-4, 0.5, 800.0, -9.0],
+        pmax=[0.7, 0.5, 0.05, 10.0, 2500.0, 1.5],
+        stepsize=[0.01, 0.01, 0.001, 0.1, 10.0, 0.1],
+    )
+    like = Likelihood(fm, space, data, 0.02 * data)
+    rng = np.random.default_rng(14)
+    init = np.clip(
+        truth[space.ifree][None, :]
+        * (1 + rng.normal(0, 0.02, (6, space.nfree))),
+        space.free_min, space.free_max,
+    )
+    res = run_mcmc(like, space, nchains=6, numit=6000, burnin=200,
+                   walk="snooker", seed=14, block=100, verbose=False,
+                   grtest=False, init=init)
+    assert np.isfinite(res.best_loglike)
+    assert -2 * res.best_loglike < 10.0
+
+    # isothermal family too (1 param + CH4):
+    config_iso = ForwardConfig(solution="eclipse", pt_type="iso",
+                               molfit=("CH4",))
+    fm_iso = ForwardModel(config_iso, wn_grid=wn, pressure=pressure,
+                          species=["H2", "He", "CH4"],
+                          base_abundances=np.tile([0.85, 0.149, 1e-3],
+                                                  (30, 1)),
+                          opacity=grid, system=system, bands=bands,
+                          dtype=jnp.float64)
+    bf_iso, _, v_iso = fm_iso.jitted()(jnp.asarray([1400.0, -0.5]))
+    assert bool(v_iso) and np.all(np.asarray(bf_iso) > 0)
