@@ -87,6 +87,9 @@ class RetrievalConfig:
     uniform: np.ndarray | None = None
     refpress: float = 0.1
     cloudtop: float | None = None
+    cloudrad: np.ndarray | None = None   # (r_top, r_bot) in cloudfct units
+    cloudfct: float = 1e5                # cm per cloudrad unit (km default)
+    cloudext: float = 0.0                # extended-cloud extinction [cm-1]
     scattering: str | None = None
 
     # --- MCMC (BART.py:167-227; MC3 cfg keys) ---
@@ -142,8 +145,32 @@ class RetrievalConfig:
     tempdelt: float = 100.0
     opacityfile: str | None = None
     outspec: str = "outspec.dat"
+    outintens: str | None = None   # per-angle intensity dump (eclipse)
+    outtoomuch: str | None = None  # radius where tau hits `toomuch`
+    outsample: str | None = None   # sampling-grid dump
+    savefiles: bool = False        # dump tau.dat etc. (transit savefiles)
     shareOpacity: bool = True    # accepted, unused (tables are device arrays)
     tconfig: str = "transit.cfg" # accepted, unused (no subprocess fan-out)
+    # -- accepted-for-compatibility transit flags (makecfg.py:36-52).
+    # Radius sampling is derived from the pressure grid (hydrostatic,
+    # physics/hydro.py) so radlow/radhigh/raddelt only clip/inform; the
+    # geometry stubs (starrad/transparent) match the reference's stubs.
+    radlow: float | None = None
+    radhigh: float | None = None
+    raddelt: float | None = None
+    radfct: float = 1e5
+    allowq: float | None = None
+    tauiso: int = 0
+    outtau: str | None = None
+    taulevel: int | None = None
+    modlevel: int | None = None
+    starrad: float | None = None
+    transparent: bool = False
+    verb: int = 0
+    gsurf: float | None = None      # computed from TEP when absent
+    refradius: float | None = None  # computed from TEP when absent
+    orbpars: np.ndarray | None = None
+    orbparsfct: np.ndarray | None = None
 
     # --- TEA (makecfg.py:204-255) ---
     maxiter: int = 100
@@ -159,16 +186,20 @@ class RetrievalConfig:
 
 
 _ARRAY_KEYS = {"params", "pmin", "pmax", "stepsize", "PTinit", "uniform",
-               "raygrid"}
+               "raygrid", "cloudrad", "orbpars", "orbparsfct"}
 _STRLIST_KEYS = {"parnames", "molfit", "filters", "csfile"}
 _BOOL_KEYS = {"log", "COswap", "leastsq", "chisqscale", "grtest", "grexit",
-              "plots", "quiet", "ebalance", "shareOpacity"}
+              "plots", "quiet", "ebalance", "shareOpacity", "savefiles",
+              "transparent"}
 _INT_KEYS = {"n_layers", "numit", "nchains", "burnin", "thinning",
-             "modelper", "maxiter", "seed"}
+             "modelper", "maxiter", "seed", "tauiso", "taulevel",
+             "modlevel", "verb"}
 _FLOAT_KEYS = {"p_top", "p_bottom", "solar_times", "refpress", "cloudtop",
                "Tmin", "Tmax", "tint", "wllow", "wlhigh", "wlfct", "wnlow",
                "wnhigh", "wndelt", "wnosamp", "wnfct", "toomuch", "ethresh",
-               "nwidth", "tlow", "thigh", "tempdelt"}
+               "nwidth", "tlow", "thigh", "tempdelt", "cloudfct", "cloudext",
+               "radlow", "radhigh", "raddelt", "radfct", "allowq", "starrad",
+               "gsurf", "refradius"}
 
 
 def load_config(path: str | None = None, overrides: dict | None = None

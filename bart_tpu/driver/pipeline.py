@@ -302,6 +302,9 @@ class Pipeline:
             molfit=tuple(cfg.molfit or ()),
             tmin=cfg.Tmin, tmax=cfg.Tmax,
             cloudtop=cfg.cloudtop is not None,
+            cloudrad=(tuple(np.asarray(cfg.cloudrad) * cfg.cloudfct / 1e5)
+                      if cfg.cloudrad is not None else None),
+            cloudext=cfg.cloudext,
             scattering=("polar" if isinstance(cfg.scattering, str)
                         and "polar" in cfg.scattering
                         else ("ray" if cfg.scattering is not None else None)),
@@ -388,6 +391,11 @@ class Pipeline:
         best_fit_outputs(
             fm, like, space, result, post_dir,
             fext=cfg.fext, store=getattr(self, "store", {}),
+            aux=dict(
+                savefiles=cfg.savefiles, outtau=cfg.outtau,
+                outintens=cfg.outintens, outtoomuch=cfg.outtoomuch,
+                outsample=cfg.outsample, toomuch=cfg.toomuch,
+            ),
         )
         self.log(f"post-processing written to {post_dir}")
         return result

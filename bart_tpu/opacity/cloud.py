@@ -16,7 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cloud_deck_extinction", "gray_extinction"]
+__all__ = ["cloud_deck_extinction", "gray_extinction",
+           "extended_cloud_extinction"]
 
 # Extinction amplitude inside the opaque deck [cm-1]: tau across one
 # layer >> toomuch for any realistic layer thickness.
@@ -38,6 +39,19 @@ def cloud_deck_extinction(
     x = (jnp.log10(pressure_bar) - log10_p_top) / _DECK_WIDTH_DEX
     profile = _DECK_KAPPA * jax.nn.sigmoid(x)
     return jnp.broadcast_to(profile[:, None], (pressure_bar.shape[0], nwave))
+
+
+def extended_cloud_extinction(
+    rad_km: jax.Array, r_top_km, r_bot_km, kappa
+) -> jax.Array:
+    """Extended gray cloud per layer [cm-1] (reference transit flags
+    cloudrad/cloudfct/cloudext — makecfg.py:36-52 known_args;
+    SURVEY.md section 2.2 "cloud + scattering"): extinction ramps
+    linearly from 0 at the cloud-top radius ``r_top_km`` to ``kappa``
+    at the cloud-bottom radius ``r_bot_km`` and stays ``kappa`` below.
+    Differentiable in the radii via the linear ramp."""
+    ramp = (r_top_km - rad_km) / jnp.maximum(r_top_km - r_bot_km, 1e-12)
+    return kappa * jnp.clip(ramp, 0.0, 1.0)
 
 
 def gray_extinction(

@@ -40,7 +40,8 @@ def read_mcmc_log(path: str):
 
 
 def best_fit_outputs(fm, like, space, result, out_dir: str,
-                     fext: str = ".png", store: dict | None = None) -> None:
+                     fext: str = ".png", store: dict | None = None,
+                     aux: dict | None = None) -> None:
     """Write the full post-processing set: trace/pairwise/histogram,
     best-fit spectrum + .dat file, PT posterior envelope with CF
     overlay, contribution functions / transmittance, best-fit
@@ -100,9 +101,53 @@ def best_fit_outputs(fm, like, space, result, out_dir: str,
         rprs=getattr(fm.system, "rprs", None),
     )
 
-    # --- contribution functions / transmittance (BART.py:627-644) ---
+    # --- auxiliary transit-compatible dumps (reference output files
+    # outintens / outtoomuch / outsample / tau.dat via savefiles;
+    # SURVEY.md 2.2 "Outputs", cf.py:37-94 tau.dat contract) ---
+    aux = aux or {}
     ext_np = np.asarray(ext)
     rad_np = np.asarray(rad_cm)
+    if aux.get("savefiles") or aux.get("outtau"):
+        from bart_tpu.rt.tau import tau_vertical
+
+        tau_np = np.asarray(tau_vertical(ext, rad_cm))   # [layer, wn]
+        np.savez(os.path.join(out_dir, aux.get("outtau") or "tau.npz"),
+                 tau=tau_np, wn=wn, pressure=pressure, radius_km=rad_np / 1e5)
+    if aux.get("outintens") and fm.config.solution in ("eclipse", "direct"):
+        from bart_tpu.rt.eclipse import eclipse_intensity
+        from bart_tpu.rt.tau import tau_vertical
+
+        I = np.asarray(eclipse_intensity(
+            tau_vertical(ext, rad_cm), T_best, fm.wn, fm.mu))
+        with open(os.path.join(out_dir, aux["outintens"]), "w") as f:
+            f.write("#wvl [um]  I(mu) [erg s-1 cm-2 cm sr-1] per angle "
+                    f"mu={np.asarray(fm.mu).tolist()}\n")
+            for j in range(len(wn) - 1, -1, -1):
+                f.write(f"{1e4/wn[j]:.7e} "
+                        + " ".join(f"{I[m, j]:.7e}" for m in range(I.shape[0]))
+                        + "\n")
+    if aux.get("outtoomuch"):
+        from bart_tpu.rt.tau import tau_vertical
+
+        tau_np = np.asarray(tau_vertical(ext, rad_cm))
+        toomuch = float(aux.get("toomuch", 10.0))
+        # topmost layer where tau >= toomuch, per wn (radius of the
+        # tau=toomuch surface; reference outtoomuch file)
+        hit = tau_np >= toomuch
+        idx = np.where(hit.any(axis=0), hit.argmax(axis=0), len(rad_np) - 1)
+        with open(os.path.join(out_dir, aux["outtoomuch"]), "w") as f:
+            f.write("#wvl [um]   radius [km] where tau = toomuch\n")
+            for j in range(len(wn) - 1, -1, -1):
+                f.write(f"{1e4/wn[j]:.7e}  {rad_np[idx[j]]/1e5:.7e}\n")
+    if aux.get("outsample"):
+        with open(os.path.join(out_dir, aux["outsample"]), "w") as f:
+            f.write(f"# wn grid: {len(wn)} samples, "
+                    f"[{wn[0]:.6f}, {wn[-1]:.6f}] cm-1\n")
+            f.write(f"# layers: {len(pressure)} "
+                    f"[{pressure[0]:.3e}, {pressure[-1]:.3e}] bar\n")
+            f.write(f"# raygrid mu: {np.asarray(fm.mu).tolist()}\n")
+
+    # --- contribution functions / transmittance (BART.py:627-644) ---
     cf_overlay = None
     if fm.config.solution in ("eclipse", "direct"):
         cf_lw = contribution_functions(ext_np, rad_np, np.asarray(T_best),

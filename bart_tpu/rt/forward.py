@@ -37,7 +37,9 @@ import jax.numpy as jnp
 from bart_tpu import constants as const
 from bart_tpu.obs.bands import BandMatrix, band_integrate
 from bart_tpu.opacity.cia import LOSCHMIDT, CiaTable
-from bart_tpu.opacity.cloud import cloud_deck_extinction
+from bart_tpu.opacity.cloud import (
+    cloud_deck_extinction, extended_cloud_extinction,
+)
 from bart_tpu.opacity.grid import OpacityGrid, interp_opacity
 from bart_tpu.opacity.rayleigh import rayleigh_extinction
 from bart_tpu.physics.hydro import anchor_index, radius_profile
@@ -59,6 +61,8 @@ class ForwardConfig:
     tmin: float = 400.0              # reference Tmin (BARTfunc.py:67-72)
     tmax: float = 3000.0
     cloudtop: bool = False           # fit a cloud-deck top pressure
+    cloudrad: tuple | None = None    # (r_top, r_bot) [km]: extended cloud
+    cloudext: float = 0.0            # extinction at cloud bottom [cm-1]
     scattering: str | None = None    # None | 'ray' | 'polar'
     ebalance: bool = False
     refpress: float = 0.1            # p0 [bar] where R(p0)=Rp (demo cfg)
@@ -352,6 +356,13 @@ class ForwardModel:
             ext = ext + cloud_deck_extinction(
                 pressure, jnp.log10(jnp.maximum(ctop, 1e-30)), wn.shape[0]
             )
+
+        if cfg.cloudrad is not None and cfg.cloudext:
+            # static extended gray cloud (transit cloudrad/cloudext)
+            prof = extended_cloud_extinction(
+                rad_km, cfg.cloudrad[0], cfg.cloudrad[1], cfg.cloudext
+            )
+            ext = ext + prof[:, None]
 
         return T_safe, q, rad_cm, ext, valid
 

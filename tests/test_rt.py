@@ -335,3 +335,28 @@ def test_forward_on_the_fly_matches_fine_grid():
     assert bool(v1) and bool(v2)
     np.testing.assert_allclose(np.asarray(bf_fly), np.asarray(bf_grid),
                                rtol=2e-3)
+
+
+def test_forward_extended_cloud():
+    """cloudrad/cloudext extended gray cloud (reference transit flags
+    cloudrad/cloudfct/cloudext, makecfg.py:36-52)."""
+    fm0 = make_demo_forward("transit")
+    params = np.concatenate([DEMO_PARAMS[:5], [fm0.r0_km], DEMO_PARAMS[5:]])
+    bf0 = np.asarray(fm0.jitted()(jnp.asarray(params))[0])
+
+    # a cloud spanning ~the whole modeled radius range with strong
+    # extinction must deepen the transit
+    rad = np.asarray(
+        fm0.diagnostics(jnp.asarray(params))[2]) / 1e5  # km
+    fm1 = make_demo_forward(
+        "transit", cloudrad=(float(rad.min() + 0.8 * (rad.max()-rad.min())),
+                             float(rad.min())), cloudext=1e-4)
+    bf1 = np.asarray(fm1.jitted()(jnp.asarray(params))[0])
+    assert np.all(bf1 > bf0)
+
+    # zero extinction -> no-op
+    fm2 = make_demo_forward(
+        "transit", cloudrad=(float(rad.max()), float(rad.min())),
+        cloudext=0.0)
+    bf2 = np.asarray(fm2.jitted()(jnp.asarray(params))[0])
+    np.testing.assert_allclose(bf2, bf0, rtol=1e-12)
