@@ -108,6 +108,8 @@ class RetrievalConfig:
     thinning: int = 1
     leastsq: bool = False
     chisqscale: bool = False
+    wlike: bool = False   # Carter & Winn 2009 wavelet likelihood (MC3 dwt.c);
+                          # appends (gamma, sigma_r, sigma_w) to params
     grtest: bool = True
     grexit: bool = False
     seed: int = 0
@@ -190,7 +192,7 @@ _ARRAY_KEYS = {"params", "pmin", "pmax", "stepsize", "PTinit", "uniform",
 _STRLIST_KEYS = {"parnames", "molfit", "filters", "csfile"}
 _BOOL_KEYS = {"log", "COswap", "leastsq", "chisqscale", "grtest", "grexit",
               "plots", "quiet", "ebalance", "shareOpacity", "savefiles",
-              "transparent"}
+              "transparent", "wlike"}
 _INT_KEYS = {"n_layers", "numit", "nchains", "burnin", "thinning",
              "modelper", "maxiter", "seed", "tauiso", "taulevel",
              "modlevel", "verb"}

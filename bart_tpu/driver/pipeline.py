@@ -335,7 +335,7 @@ class Pipeline:
             pinit=cfg.params, pmin=cfg.pmin, pmax=cfg.pmax,
             stepsize=cfg.stepsize, pnames=cfg.parnames,
         )
-        like = Likelihood(fm, space, data, uncert)
+        like = Likelihood(fm, space, data, uncert, wlike=cfg.wlike)
         self.store = dict(system=system, starfl=starfl, filters=filters,
                           data=data, uncert=uncert)
         return fm, like, space

@@ -81,6 +81,7 @@ class Likelihood:
         prior: np.ndarray | None = None,
         priorlow: np.ndarray | None = None,
         priorup: np.ndarray | None = None,
+        wlike: bool = False,
     ):
         self.forward = forward
         self.space = space
@@ -89,13 +90,29 @@ class Likelihood:
         self.prior = prior
         self.priorlow = priorlow
         self.priorup = priorup
+        # MC3 ``wlike`` mode (SURVEY.md 2.3, dwt.c): the LAST THREE
+        # entries of the full parameter vector are the wavelet noise
+        # parameters (gamma, sigma_r, sigma_w); the forward model gets
+        # the rest, and the likelihood is Carter & Winn (2009) instead
+        # of chi^2.
+        self.wlike = wlike
 
     def __call__(self, free: jax.Array):
         """-> (loglike scalar, model[nfilt]).  vmap over leading axes."""
         full = self.space.expand(free)
-        model, _, valid = self.forward(full)
-        resid = (model - self.data) / self.uncert
-        chi2 = jnp.sum(resid * resid)
+        if self.wlike:
+            from bart_tpu.inference.wavelet import wavelet_loglike
+
+            model, _, valid = self.forward(full[..., :-3])
+            wl = wavelet_loglike(
+                model - self.data, full[..., -3], full[..., -2],
+                full[..., -1],
+            )
+            chi2 = -2.0 * wl
+        else:
+            model, _, valid = self.forward(full)
+            resid = (model - self.data) / self.uncert
+            chi2 = jnp.sum(resid * resid)
 
         inb = jnp.all(
             (free >= jnp.asarray(self.space.free_min, free.dtype))

@@ -62,8 +62,11 @@ def best_fit_outputs(fm, like, space, result, out_dir: str,
 
     # --- best-fit forward evaluation (callTransit equivalent) ---
     best_free = jnp.asarray(result.bestp)
-    bandflux, spectrum, _ = fm.jitted()(space.expand(best_free))
-    T_best, q_best, rad_cm, ext, _ = fm.diagnostics(space.expand(best_free))
+    full_best = space.expand(best_free)
+    if getattr(like, "wlike", False):
+        full_best = full_best[..., :-3]   # drop (gamma, sigma_r, sigma_w)
+    bandflux, spectrum, _ = fm.jitted()(full_best)
+    T_best, q_best, rad_cm, ext, _ = fm.diagnostics(full_best)
     wn = np.asarray(fm.wn)
     pressure = np.asarray(fm.pressure)
 
@@ -170,6 +173,8 @@ def best_fit_outputs(fm, like, space, result, out_dir: str,
     nsamp = min(300, flat.shape[1])
     idx = np.linspace(0, flat.shape[1] - 1, nsamp).astype(int)
     full_batch = space.expand(jnp.asarray(flat[:, idx].T))
+    if getattr(like, "wlike", False):
+        full_batch = full_batch[..., :-3]
     T_batch, _, _, _, _ = fm.diagnostics_batch()(full_batch)
     plots.pt_envelope(
         pressure, np.asarray(T_batch), np.asarray(T_best),

@@ -36,7 +36,10 @@ def eclipse_intensity(
     tau = jnp.minimum(tau, TAU_CLAMP)
     B = planck_wn(wn[None, :], temperature[:, None])           # [L, wn]
     # attenuation at layer boundaries per mu: [mu, L, wn]
-    atten = jnp.exp(-tau[None, :, :] / mu[:, None, None])
+    # (reciprocal-multiply instead of divide: the exp over
+    # [mu, layer, wn] is the VPU hot spot of the whole forward model)
+    neg_inv_mu = -1.0 / mu
+    atten = jnp.exp(tau[None, :, :] * neg_inv_mu[:, None, None])
     # per-segment exact integral with B constant in the segment:
     #   int B e^{-t/mu} dt/mu = B (e^{-tau_l/mu} - e^{-tau_{l+1}/mu})
     # — the "emission = sum B * d(transmission)" form, robust for

@@ -213,3 +213,75 @@ def test_modelper_split(tmp_path):
     parts = [np.load(str(tmp_path / f"models{k:02d}.npy"))
              for k in range(-(-whole.shape[2] // 100))]
     np.testing.assert_allclose(np.concatenate(parts, axis=2), whole)
+
+
+# ---------------------------------------------------------------------------
+# Wavelet (Carter & Winn 2009) likelihood — MC3 dwt.c equivalent
+
+
+def test_dwt_orthonormal():
+    from bart_tpu.inference.wavelet import dwt_db4
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=64))
+    coeffs = dwt_db4(x)
+    assert [c.shape[0] for c in coeffs] == [32, 16, 8, 4, 2, 1, 1]
+    total = sum(float(jnp.sum(c * c)) for c in coeffs)
+    np.testing.assert_allclose(total, float(jnp.sum(x * x)), rtol=1e-10)
+
+
+def test_wavelet_white_noise_identity():
+    """sigma_r = 0 must reduce exactly to the white Gaussian loglike
+    (DWT orthonormality)."""
+    from bart_tpu.inference.wavelet import wavelet_loglike
+
+    rng = np.random.default_rng(4)
+    for n in (16, 10):  # power of two and padded
+        r = rng.normal(size=n) * 0.3
+        sig = 0.3
+        wl = float(wavelet_loglike(jnp.asarray(r), 1.0, 0.0, sig))
+        npad = 16
+        gauss = -0.5 * np.sum(r**2) / sig**2 \
+                - 0.5 * npad * np.log(2 * np.pi * sig**2)
+        np.testing.assert_allclose(wl, gauss, rtol=1e-10)
+
+
+def test_wavelet_prefers_red_noise_model():
+    """Strongly correlated residuals: the red+white model must beat
+    the white-only model, and the likelihood must be jit/grad-safe."""
+    from bart_tpu.inference.wavelet import wavelet_loglike
+
+    rng = np.random.default_rng(5)
+    # random-walk (1/f^2-ish) residuals
+    r = jnp.asarray(np.cumsum(rng.normal(size=64)) * 0.1)
+    white = float(wavelet_loglike(r, 1.0, 0.0, float(np.std(np.asarray(r)))))
+    red = float(wavelet_loglike(r, 1.0, 2.0 * float(np.std(np.asarray(r))),
+                                0.05))
+    assert red > white
+    g = jax.grad(lambda s: wavelet_loglike(r, 1.0, s, 0.1))(1.0)
+    assert np.isfinite(float(g))
+
+
+def test_wlike_likelihood_mode():
+    """Likelihood(wlike=True): last 3 params are (gamma, sigma_r,
+    sigma_w); forward gets the rest."""
+    data = np.array([1.0, 2.0, 3.0, 4.0])
+
+    def forward(p):
+        return p[0] * jnp.arange(1.0, 5.0), None, jnp.asarray(True)
+
+    space = ParamSpace(
+        pinit=[1.0, 1.0, 0.0, 0.1],
+        pmin=[0.0, 1.0, 0.0, 1e-3], pmax=[2.0, 1.0, 1.0, 1.0],
+        stepsize=[0.1, 0.0, 0.0, 0.1],  # gamma and sigma_r fixed
+    )
+    like = Likelihood(forward, space, data, np.full(4, 0.1), wlike=True)
+    l_true, model = like(jnp.asarray([1.0, 0.1]))
+    l_off, _ = like(jnp.asarray([1.2, 0.1]))
+    assert model.shape == (4,)
+    assert float(l_true) > float(l_off)
+    # matches the direct white-noise wavelet value (sigma_r = 0)
+    from bart_tpu.inference.wavelet import wavelet_loglike
+
+    direct = float(wavelet_loglike(jnp.zeros(4), 1.0, 0.0, 0.1))
+    np.testing.assert_allclose(float(l_true), direct, rtol=1e-10)
