@@ -85,5 +85,12 @@ def build_band_matrix(
 
 
 def band_integrate(bands: BandMatrix, spectrum: jax.Array) -> jax.Array:
-    """bandflux[..., nfilt] = spectrum[..., nwave] @ W.T (MXU matmul)."""
-    return spectrum @ bands.weights.T
+    """bandflux[..., nfilt] = spectrum[..., nwave] @ W.T (MXU matmul).
+
+    precision=HIGHEST: the TPU default lowers f32 matmuls to bf16
+    multiplies, a ~1e-3 systematic on band fluxes — too coarse for
+    chi^2 against percent-level eclipse depths.  The matmul is tiny
+    ([nwave] x [nwave, nfilt]), so full precision is free.
+    """
+    return jnp.matmul(spectrum, bands.weights.T,
+                      precision=jax.lax.Precision.HIGHEST)

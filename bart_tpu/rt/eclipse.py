@@ -46,7 +46,8 @@ def eclipse_intensity(
     # optically thick layers where a dtau trapezoid fails.
     Bmid = 0.5 * (B[1:] + B[:-1])                              # [L-1, wn]
     datten = atten[:, :-1, :] - atten[:, 1:, :]                # [mu, L-1, wn]
-    emit = jnp.einsum("mlw,lw->mw", datten, Bmid)
+    emit = jnp.einsum("mlw,lw->mw", datten, Bmid,
+                      precision=jax.lax.Precision.HIGHEST)
     surface = B[-1][None, :] * atten[:, -1, :]
     return emit + surface
 

@@ -257,8 +257,10 @@ class ForwardModel:
             valid &= e_out <= e_in
 
         # 7. band integration (BARTfunc.py:385-396; star division folded
-        #    into the band matrix for eclipse)
-        bandflux = spectrum @ t["band_w"].T
+        #    into the band matrix for eclipse; HIGHEST so the TPU bf16
+        #    matmul default can't bias the chi^2)
+        bandflux = jnp.matmul(spectrum, t["band_w"].T,
+                              precision=jax.lax.Precision.HIGHEST)
         return bandflux, spectrum, valid
 
     def _atmosphere(self, params, t):
@@ -294,7 +296,8 @@ class ForwardModel:
 
         # 3. hydrostatic radii (reference precomputes in the atm file;
         #    bart_tpu re-derives per sample so T feedback is exact)
-        mmm = q @ t["masses"]
+        mmm = jnp.matmul(q, t["masses"],
+                         precision=jax.lax.Precision.HIGHEST)
         if cfg.n_radfit:
             r0 = params[nPT]  # fitted radius [km] (set_radius, BARTfunc.py:351)
         else:
@@ -328,7 +331,8 @@ class ForwardModel:
                 t["sigma"], self.t_min, self.t_step, self.n_t, T_safe,
             )                                                    # [mol, L, wn]
         n_mol = (q[:, self.i_opac] * n_tot[:, None]).T           # [mol, L]
-        ext = jnp.einsum("mlw,ml->lw", sigma, n_mol)
+        ext = jnp.einsum("mlw,ml->lw", sigma, n_mol,
+                         precision=jax.lax.Precision.HIGHEST)
 
         for k, (i1, i2) in enumerate(self.cia_idx):
             from bart_tpu.opacity.cia import cia_extinction

@@ -62,5 +62,7 @@ def tau_slant(extinction: jax.Array, radius_cm: jax.Array) -> jax.Array:
     # segment lengths between consecutive layers along each ray
     dx = x[:, :-1] - x[:, 1:]                                  # [L, L-1] >= 0
     emid = 0.5 * (extinction[:-1] + extinction[1:])            # [L-1, wn]
-    # tau_i = 2 * sum_k dx[i, k] * emid[k]  — a matmul over the layer axis
-    return 2.0 * jnp.einsum("ik,kw->iw", dx, emid)
+    # tau_i = 2 * sum_k dx[i, k] * emid[k]  — a matmul over the layer
+    # axis (HIGHEST: don't let the TPU bf16 default truncate tau)
+    return 2.0 * jnp.einsum("ik,kw->iw", dx, emid,
+                            precision=jax.lax.Precision.HIGHEST)

@@ -285,3 +285,24 @@ def test_wlike_likelihood_mode():
 
     direct = float(wavelet_loglike(jnp.zeros(4), 1.0, 0.0, 0.1))
     np.testing.assert_allclose(float(l_true), direct, rtol=1e-10)
+
+
+def test_seed_reproducibility():
+    """Same seed -> bitwise-identical posterior (the BASELINE
+    'bitwise-stable posteriors' target: deterministic reductions and
+    counter-based RNG, independent of host state)."""
+    def forward(p):
+        model = p[0] * jnp.arange(1.0, 6.0)
+        return model, model, jnp.asarray(True)
+
+    space = ParamSpace(pinit=[1.0], pmin=[-5.0], pmax=[5.0], stepsize=[0.1])
+    data = np.arange(1.0, 6.0) * 1.3
+    uncert = np.full(5, 0.1)
+
+    runs = []
+    for _ in range(2):
+        like = Likelihood(forward, space, data, uncert)
+        res = run_mcmc(like, space, nchains=4, numit=2000, burnin=100,
+                       walk="snooker", seed=7, verbose=False, grtest=False)
+        runs.append(res.posterior.copy())
+    np.testing.assert_array_equal(runs[0], runs[1])
