@@ -68,13 +68,24 @@ def table_shardings(mesh: Mesh) -> dict:
     return out
 
 
+def _lt_spec(mesh: Mesh) -> NamedSharding:
+    """Line-tile arrays [n_tiles, ...]: the tile axis IS the wn axis
+    (tile t covers grid slice [t*W, (t+1)*W)), so shard axis 0 along
+    'wn'.  Lines whose wings cross a shard boundary were duplicated
+    into both tiles at bucketing time (opacity.extinction.tile_lines),
+    so no runtime halo exchange is needed."""
+    return NamedSharding(mesh, P("wn", None))
+
+
 def shard_tables(tables: dict, mesh: Mesh) -> dict:
     """device_put every table with its mesh sharding (CIA and unknown
     keys replicate)."""
     specs = table_shardings(mesh)
     rep = NamedSharding(mesh, P())
+    lt = _lt_spec(mesh)
     return {
-        k: jax.device_put(v, specs.get(k, rep)) for k, v in tables.items()
+        k: jax.device_put(v, lt if k.startswith("lt") else specs.get(k, rep))
+        for k, v in tables.items()
     }
 
 
@@ -88,16 +99,45 @@ def pad_tables_for_mesh(tables: dict, mesh: Mesh) -> dict:
     carries trailing padded samples.
     """
     n_wn_shards = mesh.shape["wn"]
-    nwave = tables["wn"].shape[0]
-    pad = (-nwave) % n_wn_shards
-    if pad == 0:
-        return dict(tables)
     out = dict(tables)
-    out["wn"] = jnp.concatenate(
-        [tables["wn"], jnp.repeat(tables["wn"][-1:], pad)]
-    )
-    out["sigma"] = jnp.pad(tables["sigma"], ((0, 0),) * 3 + ((0, pad),))
-    out["band_w"] = jnp.pad(tables["band_w"], ((0, 0), (0, pad)))
+    lt_keys = sorted({k.split("_", 1)[0] for k in tables if k.startswith("lt")})
+
+    if lt_keys:
+        # On-the-fly mode: pad the TILE axis to divide the mesh, then
+        # grow the working wn grid to exactly n_tiles * tile_size so
+        # the per-tile cross-sections align with every wn-indexed
+        # array shard-for-shard (padded tiles carry weight 0 and
+        # padded wn points carry zero band weight).
+        nt, W = tables[f"{lt_keys[0]}_wn_tiles"].shape
+        nt_pad = (-nt) % n_wn_shards
+        for p in lt_keys:
+            for suf in ("wn0", "s296", "elower", "gamma_air", "n_air",
+                        "weight"):
+                a = tables[f"{p}_{suf}"]
+                out[f"{p}_{suf}"] = jnp.pad(a, ((0, nt_pad), (0, 0)))
+            wt = tables[f"{p}_wn_tiles"]
+            out[f"{p}_wn_tiles"] = jnp.concatenate(
+                [wt, jnp.broadcast_to(wt[-1:, -1:], (nt_pad, W))]
+            ) if nt_pad else wt
+            gm = tables[f"{p}_grid_mask"]
+            out[f"{p}_grid_mask"] = jnp.pad(gm, ((0, nt_pad), (0, 0)))
+        n_work = (nt + nt_pad) * W
+        pad = n_work - tables["wn"].shape[0]
+    else:
+        nwave = tables["wn"].shape[0]
+        pad = (-nwave) % n_wn_shards
+        if pad == 0:
+            return out
+        if "sigma" in tables:
+            out["sigma"] = jnp.pad(
+                tables["sigma"], ((0, 0),) * 3 + ((0, pad),)
+            )
+
+    if pad:
+        out["wn"] = jnp.concatenate(
+            [tables["wn"], jnp.repeat(tables["wn"][-1:], pad)]
+        )
+        out["band_w"] = jnp.pad(tables["band_w"], ((0, 0), (0, pad)))
     return out
 
 

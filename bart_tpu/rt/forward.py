@@ -160,8 +160,27 @@ class ForwardModel:
         # (the reference equally supports gridded and direct extinction;
         # SURVEY.md 2.2 "on-the-fly" mode, manual tex:776-778)
         if isinstance(opacity, dict):
+            # On-the-fly (table-free) mode: the line-tile arrays live in
+            # the `tables` pytree so parallel.shard_model can shard the
+            # TILE axis along the 'wn' mesh axis.  tile_lines already
+            # duplicated every line whose wings reach a tile into that
+            # tile's bucket, so the Voigt wing "halo" is materialized in
+            # the bucketing and the sharded compute needs NO runtime
+            # halo exchange (SURVEY.md 2.5 design note) — the only
+            # collective left is the band-integration psum.
             self.opacity = None
             self.line_tiles = opacity          # {species: LineTiles}
+            self._lt_meta = {}
+            for k, (name, tiles) in enumerate(opacity.items()):
+                self._lt_meta[name] = (k, float(tiles.cutoff))
+                t[f"lt{k}_wn_tiles"] = tiles.wn_tiles
+                t[f"lt{k}_grid_mask"] = tiles.grid_mask
+                t[f"lt{k}_wn0"] = tiles.wn0
+                t[f"lt{k}_s296"] = tiles.s296
+                t[f"lt{k}_elower"] = tiles.elower
+                t[f"lt{k}_gamma_air"] = tiles.gamma_air
+                t[f"lt{k}_n_air"] = tiles.n_air
+                t[f"lt{k}_weight"] = tiles.weight
             opac_species = list(opacity)
             self.broadening = broadening
             self.nwidth = nwidth
@@ -311,21 +330,37 @@ class ForwardModel:
         n_tot = t["p_barye"] / (const.K_BOLTZ * T_safe)          # [cm-3]
         if self.line_tiles is not None:
             # on-the-fly line-by-line path (no opacity grid; the
-            # reference's non-gridded extinction mode)
+            # reference's non-gridded extinction mode).  Tiles are
+            # rebuilt from the tables pytree so sharded tile arrays
+            # flow through (parallel.shard_model).
             from bart_tpu.opacity.extinction import (
-                BroadeningSpec, cross_section_grid,
+                BroadeningSpec, LineTiles, cross_section_grid,
             )
 
             bspec = self.broadening or BroadeningSpec()
-            sigma = jnp.stack(
-                [
+            n_grid = int(wn.shape[0])
+            sigs = []
+            for name, (k, cutoff) in self._lt_meta.items():
+                tiles = LineTiles(
+                    species=name,
+                    wn_tiles=t[f"lt{k}_wn_tiles"],
+                    grid_mask=t[f"lt{k}_grid_mask"],
+                    wn0=t[f"lt{k}_wn0"],
+                    s296=t[f"lt{k}_s296"],
+                    elower=t[f"lt{k}_elower"],
+                    gamma_air=t[f"lt{k}_gamma_air"],
+                    n_air=t[f"lt{k}_n_air"],
+                    weight=t[f"lt{k}_weight"],
+                    cutoff=cutoff,
+                    n_grid=n_grid,
+                )
+                sigs.append(
                     cross_section_grid(
                         tiles, T_safe, t["p_barye"], bspec,
                         nwidth=self.nwidth,
                     ).astype(dtype)
-                    for tiles in self.line_tiles.values()
-                ]
-            )                                                    # [mol, L, wn]
+                )
+            sigma = jnp.stack(sigs)                              # [mol, L, wn]
         else:
             sigma = interp_opacity(
                 t["sigma"], self.t_min, self.t_step, self.n_t, T_safe,

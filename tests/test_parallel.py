@@ -105,3 +105,67 @@ def test_sharded_mcmc_block(fm):
     state2 = sampler2.init_state(jax.random.key(0), dtype=jnp.float64)
     state2, pb2, lb2, mb2 = sampler2.run_block(state2, jax.random.key(0), 3)
     np.testing.assert_allclose(np.asarray(lb2), lb, rtol=1e-12)
+
+
+def test_sharded_on_the_fly_matches_unsharded():
+    """Table-free (line-tiles) mode under the wn mesh: bucketed wings
+    ARE the halo, so sharded results must match unsharded exactly."""
+    from test_rt import REF, DEMO_PARAMS
+    from bart_tpu.io.filters import read_filter
+    from bart_tpu.io.kurucz import blackbody_star
+    from bart_tpu.io.tep import PlanetSystem
+    from bart_tpu.linelist.tli import synthetic_linelist
+    from bart_tpu.linelist.hitran import LineList
+    from bart_tpu.obs.bands import build_band_matrix
+    from bart_tpu.opacity.extinction import tile_lines, wing_cutoff, BroadeningSpec
+    from bart_tpu.rt.forward import ForwardConfig, ForwardModel
+    from bart_tpu.utils.grids import pressure_grid
+    from bart_tpu import constants as const
+    from bart_tpu.linelist.molecules import get_molecule
+
+    system = PlanetSystem.from_tep(f"{REF}/inputs/tep/HD209458b.tep")
+    pressure = pressure_grid(20, 1e-5, 100.0)
+    wn = np.arange(2500.0, 5001.0, 10.0)   # 251 points: pads to 8 shards
+    species = ["H2", "He", "CH4"]
+    base_q = np.tile([0.85, 0.149, 1e-3], (20, 1))
+    ll = synthetic_linelist("CH4", 2500.0, 5000.0, 300, seed=7)
+
+    mol = get_molecule("CH4")
+    spec = BroadeningSpec()
+    cutoff = wing_cutoff(20.0, 5000.0, 400.0, 100.0 * const.BAR_TO_BARYE,
+                         mol.mass * const.AMU, mol.diameter * 1e-8, spec)
+    tiles = tile_lines(ll, wn, cutoff, tile_size=64)
+
+    starfl, _ = blackbody_star(wn, system.t_star)
+    filters = [read_filter(f"{REF}/inputs/filters/demo/fdemo{i:02d}.dat")
+               for i in range(1, 11)]
+    bands = build_band_matrix(wn, filters, star_flux=starfl,
+                              rprs=system.rprs)
+
+    def build():
+        return ForwardModel(
+            ForwardConfig(solution="eclipse", pt_type="line",
+                          molfit=("CH4",)),
+            wn_grid=wn, pressure=pressure, species=species,
+            base_abundances=base_q, opacity={"CH4": tiles}, system=system,
+            bands=bands, nwidth=20.0, dtype=jnp.float64,
+        )
+
+    p = jnp.asarray(DEMO_PARAMS)
+    fm_ref = build()
+    ref_bf, ref_spec, ref_valid = fm_ref.jitted()(p)
+    assert bool(ref_valid)
+
+    fm_sh = build()
+    mesh = make_mesh(n_chain=1, n_wn=8)
+    shard_model(fm_sh, mesh)
+    # tile arrays are sharded along the wn mesh axis
+    assert fm_sh.tables["lt0_wn0"].sharding.spec == P("wn", None)
+    bf, spec_out, valid = fm_sh.jitted()(p)
+    assert bool(valid)
+    np.testing.assert_allclose(np.asarray(bf), np.asarray(ref_bf),
+                               rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(spec_out)[: fm_sh.n_wn_orig], np.asarray(ref_spec),
+        rtol=1e-12,
+    )
