@@ -147,9 +147,14 @@ def interp_opacity(grid_sigma: jax.Array, t_grid_min: float, t_grid_step: float,
     f = jnp.clip(x - i0, 0.0, 1.0).astype(grid_sigma.dtype)
     nlayer = T_layers.shape[0]
     lay = jnp.arange(nlayer)
-    lo = grid_sigma[:, i0, lay, :]      # [mol, nlayer, nwave]
-    hi = grid_sigma[:, i0 + 1, lay, :]
-    return lo * (1.0 - f)[None, :, None] + hi * f[None, :, None]
+    # Lerp as a one-hot matmul over the T axis: under vmap (the chain
+    # batch) the gather alternative re-reads two table slices per chain
+    # from HBM, while the matmul streams the whole table ONCE per batch
+    # through the MXU ([chain, layer, nT] x [mol, nT, layer, wn]).
+    w = jnp.zeros((nlayer, n_t), grid_sigma.dtype)
+    w = w.at[lay, i0].set(1.0 - f).at[lay, i0 + 1].add(f)
+    return jnp.einsum("lt,mtlw->mlw", w, grid_sigma,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def save_grid(grid: OpacityGrid, path: str) -> None:
