@@ -55,10 +55,28 @@ def best_fit_outputs(fm, like, space, result, out_dir: str,
     pnames = result.pnames
 
     # --- MCMC plots (mc3plots equivalents, BART.py:599-604) ---
-    plots.trace(posterior, pnames, os.path.join(out_dir, "trace" + fext))
-    plots.pairwise(posterior, pnames, os.path.join(out_dir, "pairwise" + fext))
+    # For uniform atmospheres, rebase the fitted log-scale factors to
+    # absolute log10 molar fractions (reference mc3plots.py:45-61).
+    offsets = np.zeros(posterior.shape[1])
+    molfit = list(getattr(fm.config, "molfit", ()))
+    if molfit:
+        nmol = len(molfit)
+        mol_lo = space.npars - nmol - (3 if getattr(like, "wlike", False)
+                                       else 0)
+        base_q = np.asarray(fm.tables["base_q"])
+        for jf, jp in enumerate(space.ifree):
+            if mol_lo <= jp < mol_lo + nmol:
+                i_sp = fm.i_molfit[jp - mol_lo]
+                col = base_q[:, i_sp]
+                if np.allclose(col, col[0]):    # uniform-abundance atm
+                    offsets[jf] = np.log10(max(col[0], 1e-300))
+    plots.trace(posterior, pnames, os.path.join(out_dir, "trace" + fext),
+                offsets=offsets)
+    plots.pairwise(posterior, pnames,
+                   os.path.join(out_dir, "pairwise" + fext), offsets=offsets)
     plots.histogram(posterior, pnames,
-                    os.path.join(out_dir, "posterior" + fext))
+                    os.path.join(out_dir, "posterior" + fext),
+                    offsets=offsets)
 
     # --- best-fit forward evaluation (callTransit equivalent) ---
     best_free = jnp.asarray(result.bestp)

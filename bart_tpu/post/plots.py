@@ -24,8 +24,19 @@ def _flat(posterior: np.ndarray) -> np.ndarray:
     return posterior.transpose(1, 0, 2).reshape(posterior.shape[1], -1)
 
 
-def trace(posterior: np.ndarray, pnames, path: str) -> None:
+def _rebase(posterior: np.ndarray, offsets) -> np.ndarray:
+    """Add per-parameter offsets (reference mc3plots.py:45-61: for
+    uniform atmospheres the fitted log-scale factors are rebased to
+    absolute log10 molar fractions by adding log10(q_uniform))."""
+    if offsets is None:
+        return posterior
+    return posterior + np.asarray(offsets)[None, :, None]
+
+
+def trace(posterior: np.ndarray, pnames, path: str,
+          offsets=None) -> None:
     """Per-chain parameter traces (mc3plots trace equivalent)."""
+    posterior = _rebase(posterior, offsets)
     nchain, nfree, niter = posterior.shape
     fig, axes = plt.subplots(nfree, 1, figsize=(8, 2 * nfree), sharex=True,
                              squeeze=False)
@@ -40,9 +51,10 @@ def trace(posterior: np.ndarray, pnames, path: str) -> None:
     plt.close(fig)
 
 
-def pairwise(posterior: np.ndarray, pnames, path: str, nbins: int = 35) -> None:
+def pairwise(posterior: np.ndarray, pnames, path: str, nbins: int = 35,
+             offsets=None) -> None:
     """Lower-triangle 2-D marginal histograms (mc3plots pairwise)."""
-    flat = _flat(posterior)
+    flat = _flat(_rebase(posterior, offsets))
     nfree = flat.shape[0]
     fig, axes = plt.subplots(nfree, nfree, figsize=(2.2 * nfree, 2.2 * nfree),
                              squeeze=False)
@@ -65,9 +77,10 @@ def pairwise(posterior: np.ndarray, pnames, path: str, nbins: int = 35) -> None:
     plt.close(fig)
 
 
-def histogram(posterior: np.ndarray, pnames, path: str, nbins: int = 40) -> None:
+def histogram(posterior: np.ndarray, pnames, path: str, nbins: int = 40,
+              offsets=None) -> None:
     """1-D marginal posteriors (mc3plots histogram)."""
-    flat = _flat(posterior)
+    flat = _flat(_rebase(posterior, offsets))
     nfree = flat.shape[0]
     ncol = min(nfree, 4)
     nrow = -(-nfree // ncol)

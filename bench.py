@@ -37,7 +37,8 @@ def main():
     nchain = 256 if on_tpu else 32
 
     t0 = time.time()
-    fm = ge._build_problem(nlayer=100, nwave=2501, nlines=nlines)
+    fm = ge._build_problem(nlayer=100, nwave=2501, nlines=nlines,
+                           cache=True)
     build_s = time.time() - t0
     print(f"# opacity grid {tuple(fm.sigma.shape)} built in {build_s:.1f}s "
           f"on {dev.device_kind}", file=sys.stderr)
