@@ -146,8 +146,13 @@ def test_band_matrix_rejects_uncovered_filter():
 # Full forward model
 
 
+_DEMO_GRID_CACHE = {}
+
+
 def make_demo_forward(solution="eclipse", **cfg_kw):
-    """Small demo-shaped forward model with synthetic CH4 lines."""
+    """Small demo-shaped forward model with synthetic CH4 lines.
+    The opacity grid (the expensive part: one XLA compile + build) is
+    memoized across tests — it depends on nothing variable."""
     from bart_tpu.io.kurucz import blackbody_star
     from bart_tpu.io.filters import read_filter as rf
     from bart_tpu.utils.grids import pressure_grid
@@ -158,11 +163,15 @@ def make_demo_forward(solution="eclipse", **cfg_kw):
     species = ["H2", "He", "CH4"]
     base_q = np.tile([0.85, 0.149, 1e-3], (40, 1))
 
-    ll = synthetic_linelist("CH4", 2500.0, 5000.0, 2000, seed=12,
-                            band_centers=(2700.0, 3100.0, 4300.0))
-    t_grid = np.arange(400.0, 3001.0, 200.0)
-    grid = build_opacity_grid({"CH4": ll}, wn, t_grid, pressure,
-                              cond_batch=80, dtype=jnp.float64)
+    if "grid" not in _DEMO_GRID_CACHE:
+        ll = synthetic_linelist("CH4", 2500.0, 5000.0, 2000, seed=12,
+                                band_centers=(2700.0, 3100.0, 4300.0))
+        t_grid = np.arange(400.0, 3001.0, 200.0)
+        _DEMO_GRID_CACHE["grid"] = build_opacity_grid(
+            {"CH4": ll}, wn, t_grid, pressure, cond_batch=80,
+            dtype=jnp.float64,
+        )
+    grid = _DEMO_GRID_CACHE["grid"]
 
     filters = [rf(f"{REF}/inputs/filters/demo/fdemo{i:02d}.dat")
                for i in range(1, 11)]
