@@ -78,7 +78,9 @@ def stellar_flux(
     mode='nearest' reproduces wine.readkurucz (code/wine.py:104-122):
     nearest sampled T and nearest log g, then the first model with
     temp==tmodel and grav >= gmodel.  mode='interp' bilinearly
-    interpolates log-flux in (T, log g).
+    interpolates log-flux in (T, log g).  mode='spline' is the
+    reference kurucz_inten.interp equivalent (code/kurucz_inten.py:
+    8-159): 2-D bicubic spline in (T, log g) per wavelength.
     """
     c_si = 2.99792458e8
     starwn = np.flipud(c_si / grid.wave_m) / c_si * 1e-2  # = 1/(wave m) *1e-2
@@ -116,6 +118,34 @@ def stellar_flux(
             )
         inten = np.where(np.isfinite(lg), np.exp(lg), 0.0)
         tmod, gmod = float(temperature), float(logg)
+    elif mode == "spline":
+        from scipy.interpolate import RectBivariateSpline
+
+        ts = np.unique(grid.temp)
+        gs = np.unique(grid.grav)
+        nw = grid.inten.shape[1]
+        # assemble the full (T, logg) model cube; missing models fall
+        # back to the nearest available model at that T
+        cube = np.zeros((len(ts), len(gs), nw))
+        for i, tv in enumerate(ts):
+            row_default = grid.inten[np.where(grid.temp == tv)[0][0]]
+            for j, gv in enumerate(gs):
+                sel = np.where((grid.temp == tv) & (grid.grav == gv))[0]
+                cube[i, j] = grid.inten[sel[0]] if len(sel) else row_default
+        kt = min(3, len(ts) - 1)
+        kg = min(3, len(gs) - 1)
+        tq = float(np.clip(temperature, ts[0], ts[-1]))
+        gq = float(np.clip(logg, gs[0], gs[-1]))
+        with np.errstate(divide="ignore"):
+            lcube = _safe_log(cube)
+        inten = np.empty(nw)
+        # one bicubic surface per wavelength (reference interp semantics)
+        for w in range(nw):
+            sp = RectBivariateSpline(ts, gs, lcube[:, :, w], kx=kt, ky=kg)
+            inten[w] = sp(tq, gq)[0, 0]
+        inten = np.where(np.isfinite(inten), np.exp(inten), 0.0)
+        inten = np.where(cube.max(axis=(0, 1)) > 0, inten, 0.0)
+        tmod, gmod = tq, gq
     else:
         raise ValueError(f"unknown mode {mode!r}")
 

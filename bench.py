@@ -34,7 +34,8 @@ def main():
     dev = jax.devices()[0]
     on_tpu = "cpu" not in dev.platform.lower()
     nlines = 30000 if on_tpu else 3000
-    nchain = 256 if on_tpu else 32
+    nchain = 512 if on_tpu else 32   # realistic ensemble size; amortizes
+                                     # dispatch (256 -> 512: +15% evals/s)
 
     t0 = time.time()
     fm = ge._build_problem(nlayer=100, nwave=2501, nlines=nlines,

@@ -222,6 +222,17 @@ def test_kurucz_pck_parser(tmp_path):
     fl2, _, _, _ = stellar_flux(grid, 5875.0, 4.25, mode="interp")
     assert np.all(fl2 > 0)
 
+    # spline mode (reference kurucz_inten.interp equivalent): exact at
+    # the grid nodes, positive between them
+    fl3, _, _, _ = stellar_flux(grid, 6000.0, 4.5, mode="spline")
+    fl_node, _, _, _ = stellar_flux(grid, 6000.0, 4.5, mode="nearest")
+    np.testing.assert_allclose(fl3, fl_node, rtol=1e-8)
+    fl4, _, _, _ = stellar_flux(grid, 5900.0, 4.2, mode="spline")
+    assert np.all(fl4 > 0)
+    lo = np.minimum(fl_node, stellar_flux(grid, 5750.0, 4.0)[0])
+    hi = np.maximum(fl_node, stellar_flux(grid, 5750.0, 4.0)[0])
+    assert np.all(fl4 >= lo * 0.9) and np.all(fl4 <= hi * 1.1)
+
     # blackbody fallback: Wien check
     wngrid = np.linspace(500.0, 20000.0, 2000)
     bb, _ = blackbody_star(wngrid, 6000.0)
