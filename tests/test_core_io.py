@@ -237,3 +237,23 @@ def test_kurucz_pck_parser(tmp_path):
     wngrid = np.linspace(500.0, 20000.0, 2000)
     bb, _ = blackbody_star(wngrid, 6000.0)
     assert wngrid[np.argmax(bb)] == pytest.approx(1.9611 * 6000.0, rel=0.01)
+
+
+def test_read_spectrum_roundtrip(tmp_path):
+    """read_spectrum parses the bestfit_spectrum.dat format (reference
+    readtransit.py:23-64: wavelength um vs value, optional -> cm-1)."""
+    from bart_tpu.io.spectrum import read_spectrum
+
+    wn = np.linspace(2000.0, 4000.0, 50)
+    val = np.sin(wn / 300.0) + 2.0
+    p = tmp_path / "spec.dat"
+    with open(p, "w") as f:
+        f.write("#wvl [um]    flux\n")
+        for w, s in zip(wn[::-1], val[::-1]):   # written descending in wn
+            f.write(f"{1e4/w:.9e}  {s:.9e}\n")
+
+    x, v = read_spectrum(str(p), wn=True)
+    np.testing.assert_allclose(x, wn, rtol=1e-7)
+    np.testing.assert_allclose(v, val, rtol=1e-7)
+    xu, vu = read_spectrum(str(p), wn=False)
+    np.testing.assert_allclose(xu, np.sort(1e4 / wn), rtol=1e-7)
