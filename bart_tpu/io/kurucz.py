@@ -123,6 +123,10 @@ def stellar_flux(
 
         ts = np.unique(grid.temp)
         gs = np.unique(grid.grav)
+        if len(ts) < 2 or len(gs) < 2:
+            # degenerate grid (single Teff or single log g): bicubic is
+            # undefined along that axis — use the bilinear path
+            return stellar_flux(grid, temperature, logg, mode="interp")
         nw = grid.inten.shape[1]
         # assemble the full (T, logg) model cube; missing models fall
         # back to the nearest available model at that T
@@ -136,15 +140,16 @@ def stellar_flux(
         kg = min(3, len(gs) - 1)
         tq = float(np.clip(temperature, ts[0], ts[-1]))
         gq = float(np.clip(logg, gs[0], gs[-1]))
-        with np.errstate(divide="ignore"):
-            lcube = _safe_log(cube)
         inten = np.empty(nw)
-        # one bicubic surface per wavelength (reference interp semantics)
+        # One bicubic surface per wavelength on the RAW intensities
+        # (reference kurucz_inten.interp semantics).  Raw — not log —
+        # because zero-flux models (cool stars at short wavelengths)
+        # would become log sentinels that the cubic overshoots by
+        # orders of magnitude; raw overshoot is bounded and clamped.
         for w in range(nw):
-            sp = RectBivariateSpline(ts, gs, lcube[:, :, w], kx=kt, ky=kg)
+            sp = RectBivariateSpline(ts, gs, cube[:, :, w], kx=kt, ky=kg)
             inten[w] = sp(tq, gq)[0, 0]
-        inten = np.where(np.isfinite(inten), np.exp(inten), 0.0)
-        inten = np.where(cube.max(axis=(0, 1)) > 0, inten, 0.0)
+        inten = np.maximum(inten, 0.0)
         tmod, gmod = tq, gq
     else:
         raise ValueError(f"unknown mode {mode!r}")

@@ -84,13 +84,16 @@ def build_band_matrix(
     return BandMatrix(weights=jnp.asarray(W, dtype), nfilters=len(filters))
 
 
-def band_integrate(bands: BandMatrix, spectrum: jax.Array) -> jax.Array:
+def band_integrate(bands, spectrum: jax.Array) -> jax.Array:
     """bandflux[..., nfilt] = spectrum[..., nwave] @ W.T (MXU matmul).
+
+    ``bands`` is a BandMatrix or a raw weight array (the forward model
+    passes its — possibly padded/sharded — tables copy).
 
     precision=HIGHEST: the TPU default lowers f32 matmuls to bf16
     multiplies, a ~1e-3 systematic on band fluxes — too coarse for
     chi^2 against percent-level eclipse depths.  The matmul is tiny
     ([nwave] x [nwave, nfilt]), so full precision is free.
     """
-    return jnp.matmul(spectrum, bands.weights.T,
-                      precision=jax.lax.Precision.HIGHEST)
+    w = bands.weights if isinstance(bands, BandMatrix) else bands
+    return jnp.matmul(spectrum, w.T, precision=jax.lax.Precision.HIGHEST)

@@ -109,6 +109,14 @@ def pad_tables_for_mesh(tables: dict, mesh: Mesh) -> dict:
         # array shard-for-shard (padded tiles carry weight 0 and
         # padded wn points carry zero band weight).
         nt, W = tables[f"{lt_keys[0]}_wn_tiles"].shape
+        for p in lt_keys[1:]:
+            if tuple(tables[f"{p}_wn_tiles"].shape) != (nt, W):
+                raise ValueError(
+                    "sharded on-the-fly mode requires every species to "
+                    "be tiled with the same wn grid and tile_size: "
+                    f"{lt_keys[0]} has (nt, W)=({nt}, {W}) but {p} has "
+                    f"{tuple(tables[f'{p}_wn_tiles'].shape)}"
+                )
         nt_pad = (-nt) % n_wn_shards
         for p in lt_keys:
             for suf in ("wn0", "s296", "elower", "gamma_air", "n_air",

@@ -46,6 +46,8 @@ def eclipse_intensity(
     # XLA then fuses the exp into the layer reduction instead of
     # materializing the [mu, layer, wn] block in HBM (the hot spot of
     # the whole forward model: ~25% faster end-to-end on v5e).
+    if B.shape[0] == 1:   # single-layer slab: I = B e^{-tau/mu}
+        return B * jnp.exp(-tau / mu[:, None, None])[:, 0, :]
     Bmid = 0.5 * (B[1:] + B[:-1])                              # [L-1, wn]
     C = jnp.concatenate(
         [Bmid[:1], Bmid[1:] - Bmid[:-1], B[-1:] - Bmid[-1:]], axis=0

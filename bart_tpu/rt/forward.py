@@ -276,10 +276,8 @@ class ForwardModel:
             valid &= e_out <= e_in
 
         # 7. band integration (BARTfunc.py:385-396; star division folded
-        #    into the band matrix for eclipse; HIGHEST so the TPU bf16
-        #    matmul default can't bias the chi^2)
-        bandflux = jnp.matmul(spectrum, t["band_w"].T,
-                              precision=jax.lax.Precision.HIGHEST)
+        #    into the band matrix for eclipse)
+        bandflux = band_integrate(t["band_w"], spectrum)
         return bandflux, spectrum, valid
 
     def _atmosphere(self, params, t):

@@ -257,3 +257,44 @@ def test_read_spectrum_roundtrip(tmp_path):
     np.testing.assert_allclose(v, val, rtol=1e-7)
     xu, vu = read_spectrum(str(p), wn=False)
     np.testing.assert_allclose(xu, np.sort(1e4 / wn), rtol=1e-7)
+
+
+def test_kurucz_spline_robustness(tmp_path):
+    """Zero-flux models must not poison the spline (raw-flux surface,
+    clamped at 0) and degenerate grids fall back to bilinear."""
+    from bart_tpu.io.kurucz import KuruczGrid, stellar_flux
+
+    nw = 6
+    waves = np.linspace(5e-7, 5e-6, nw)
+    temps = np.array([3500.0, 3750.0, 4000.0, 4250.0])
+    # flux zero at the coolest model (short-wavelength dropout), ~1 elsewhere
+    inten = np.ones((8, nw))
+    grav = np.tile([4.0, 4.5], 4)
+    tcol = np.repeat(temps, 2)
+    inten[tcol == 3500.0] = 0.0
+    g = KuruczGrid(inten=inten, wave_m=waves, grav=grav, temp=tcol)
+    fl, _, _, _ = stellar_flux(g, 3625.0, 4.2, mode="spline")
+    assert np.all(fl >= 0)
+    fl_hi, _, _, _ = stellar_flux(g, 4000.0, 4.0, mode="nearest")
+    assert np.all(fl <= 2.0 * fl_hi)   # no orders-of-magnitude overshoot
+
+    # single-Teff grid: spline must not crash (falls back to bilinear)
+    g1 = KuruczGrid(inten=inten[:2], wave_m=waves, grav=grav[:2],
+                    temp=tcol[:2])
+    fl1, _, _, _ = stellar_flux(g1, 3500.0, 4.2, mode="spline")
+    assert fl1.shape == (nw,)
+
+
+def test_eclipse_single_layer_slab():
+    """One-layer atmosphere: I must be B e^{-tau/mu}, not zero."""
+    from bart_tpu.rt.eclipse import eclipse_intensity
+    from bart_tpu.rt.planck import planck_wn
+
+    wn = jnp.linspace(2000.0, 3000.0, 16)
+    T = jnp.asarray([1500.0])
+    tau = jnp.full((1, 16), 0.7)
+    mu = jnp.asarray([0.5, 1.0])
+    I = np.asarray(eclipse_intensity(tau, T, wn, mu))
+    B = np.asarray(planck_wn(wn, 1500.0))
+    np.testing.assert_allclose(I[1], B * np.exp(-0.7), rtol=1e-10)
+    np.testing.assert_allclose(I[0], B * np.exp(-1.4), rtol=1e-10)

@@ -115,7 +115,6 @@ def test_sharded_on_the_fly_matches_unsharded():
     from bart_tpu.io.kurucz import blackbody_star
     from bart_tpu.io.tep import PlanetSystem
     from bart_tpu.linelist.tli import synthetic_linelist
-    from bart_tpu.linelist.hitran import LineList
     from bart_tpu.obs.bands import build_band_matrix
     from bart_tpu.opacity.extinction import tile_lines, wing_cutoff, BroadeningSpec
     from bart_tpu.rt.forward import ForwardConfig, ForwardModel
