@@ -153,6 +153,8 @@ class RetrievalConfig:
     savefiles: bool = False        # dump tau.dat etc. (transit savefiles)
     shareOpacity: bool = True    # accepted, unused (tables are device arrays)
     tconfig: str = "transit.cfg" # accepted, unused (no subprocess fan-out)
+    mpi: bool = True             # accepted, unused (no MPI: single program)
+    func: str | None = None      # accepted, unused (likelihood is in-process)
     # -- accepted-for-compatibility transit flags (makecfg.py:36-52).
     # Radius sampling is derived from the pressure grid (hydrostatic,
     # physics/hydro.py) so radlow/radhigh/raddelt only clip/inform; the
@@ -192,7 +194,7 @@ _ARRAY_KEYS = {"params", "pmin", "pmax", "stepsize", "PTinit", "uniform",
 _STRLIST_KEYS = {"parnames", "molfit", "filters", "csfile"}
 _BOOL_KEYS = {"log", "COswap", "leastsq", "chisqscale", "grtest", "grexit",
               "plots", "quiet", "ebalance", "shareOpacity", "savefiles",
-              "transparent", "wlike"}
+              "transparent", "wlike", "mpi"}
 _INT_KEYS = {"n_layers", "numit", "nchains", "burnin", "thinning",
              "modelper", "maxiter", "seed", "tauiso", "taulevel",
              "modlevel", "verb"}

@@ -31,7 +31,10 @@ def test_config_parses_reference_demo():
     ref_cfg = "/root/reference/examples/demo/BART_eclipse.cfg"
     if not os.path.isfile(ref_cfg):
         pytest.skip("reference not mounted")
-    with pytest.warns(UserWarning, match="ignored"):
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")   # every reference key is accepted
         cfg = load_config(ref_cfg)
     assert cfg.solution == "eclipse"
     assert cfg.molfit == ["CH4"]
