@@ -225,6 +225,16 @@ class ForwardModel:
         else:
             self.pt_args = None
 
+        # Fused-kernel eligibility (rt.fused): gridded opacity with no
+        # extra continuum terms — the eclipse/direct hot-loop case.
+        self._fusable = (
+            self.opacity is not None
+            and not self.cia_idx
+            and cfg.scattering is None
+            and not cfg.cloudtop
+            and cfg.cloudrad is None
+        )
+
         self._jitted = None
 
     # -----------------------------------------------------------------
@@ -250,15 +260,34 @@ class ForwardModel:
                 f"expects {cfg.n_params}"
             )
         params = params.astype(dtype)
-        T_safe, q, rad_cm, ext, valid = self._atmosphere(params, t)
+        T_safe, q, rad_cm, valid = self._profiles(params, t)
         pressure = t["pressure"]
         wn = t["wn"]
 
-        # 5. geometry -> spectrum (run_transit equivalent, BARTfunc.py:363)
-        if cfg.solution in ("eclipse", "direct"):
+        # 4+5. extinction -> geometry -> spectrum (run_transit
+        # equivalent, BARTfunc.py:363).  The gridded eclipse path with
+        # no extra continuum runs as ONE fused kernel (T-interp + tau +
+        # Planck emission streamed per layer; Pallas on TPU) — the
+        # cases the demo/WASP-12b-class hot loops hit.  Everything
+        # else (CIA, Rayleigh, clouds, transit geometry, on-the-fly
+        # lines) uses the composable unfused ops.
+        if self._fusable and cfg.solution in ("eclipse", "direct"):
+            from bart_tpu.rt.fused import eclipse_spectrum_gridded
+
+            n_tot = t["p_barye"] / (const.K_BOLTZ * T_safe)
+            n_mol = (q[:, self.i_opac] * n_tot[:, None]).T       # [mol, L]
+            dr = rad_cm[:-1] - rad_cm[1:]
+            drp = jnp.concatenate([jnp.zeros_like(dr[:1]), dr])
+            spectrum = eclipse_spectrum_gridded(
+                t["sigma"], wn, t["mu"], t["mu_w"],
+                self.t_min, self.t_step, T_safe, n_mol, drp,
+            )
+        elif cfg.solution in ("eclipse", "direct"):
+            ext = self._extinction(params, t, T_safe, q, rad_cm)
             tau = tau_vertical(ext, rad_cm)
             spectrum = eclipse_flux(tau, T_safe, wn, t["mu"], t["mu_w"])
         elif cfg.solution == "transit":
+            ext = self._extinction(params, t, T_safe, q, rad_cm)
             spectrum = transit_depth(ext, rad_cm, self.system.r_star * 100.0)
         else:
             raise ValueError(f"unknown solution {cfg.solution!r}")
@@ -282,12 +311,18 @@ class ForwardModel:
 
     def _atmosphere(self, params, t):
         """Steps 1-4 of the hot loop: params -> (T, q, radii, extinction,
-        valid).  Shared by __call__ and diagnostics()."""
+        valid).  Used by diagnostics() (which needs the extinction
+        explicitly; __call__ may take the fused path instead)."""
+        T_safe, q, rad_cm, valid = self._profiles(params, t)
+        ext = self._extinction(params, t, T_safe, q, rad_cm)
+        return T_safe, q, rad_cm, ext, valid
+
+    def _profiles(self, params, t):
+        """Steps 1-3: params -> (T, q, radius, valid)."""
         cfg = self.config
         nPT = cfg.n_pt
         dtype = self.dtype
         pressure = t["pressure"]
-        wn = t["wn"]
 
         # 1. temperature profile (BARTfunc.py:320-330)
         T, pt_valid = pt_generator(
@@ -323,8 +358,16 @@ class ForwardModel:
             pressure, T_safe, mmm, cfg.refpress, r0, self.g0_si, i0=self.i0
         )
         rad_cm = rad_km * const.KM_TO_CM
+        return T_safe, q, rad_cm, valid
 
-        # 4. extinction [cm-1] per (layer, wn)
+    def _extinction(self, params, t, T_safe, q, rad_cm):
+        """Step 4: extinction [cm-1] per (layer, wn) — unfused path."""
+        cfg = self.config
+        nPT = cfg.n_pt
+        dtype = self.dtype
+        pressure = t["pressure"]
+        wn = t["wn"]
+        rad_km = rad_cm / const.KM_TO_CM
         n_tot = t["p_barye"] / (const.K_BOLTZ * T_safe)          # [cm-3]
         if self.line_tiles is not None:
             # on-the-fly line-by-line path (no opacity grid; the
@@ -401,7 +444,7 @@ class ForwardModel:
             )
             ext = ext + prof[:, None]
 
-        return T_safe, q, rad_cm, ext, valid
+        return ext
 
     def diagnostics(self, params: jax.Array):
         """Atmospheric-structure intermediates for post-processing
