@@ -56,6 +56,7 @@ def table_shardings(mesh: Mesh) -> dict:
     out = {
         "wn": spec("wn"),
         "sigma": spec(None, None, None, "wn"),   # [mol, nT, layer, wn]
+        "frows": spec(None, None, "wn"),         # [rows, layer, wn]
         "band_w": spec(None, "wn"),              # [nfilt, wn]
         "pressure": rep,
         "p_barye": rep,
@@ -139,6 +140,10 @@ def pad_tables_for_mesh(tables: dict, mesh: Mesh) -> dict:
         if "sigma" in tables:
             out["sigma"] = jnp.pad(
                 tables["sigma"], ((0, 0),) * 3 + ((0, pad),)
+            )
+        if "frows" in tables:
+            out["frows"] = jnp.pad(
+                tables["frows"], ((0, 0),) * 2 + ((0, pad),)
             )
 
     if pad:

@@ -225,15 +225,45 @@ class ForwardModel:
         else:
             self.pt_args = None
 
-        # Fused-kernel eligibility (rt.fused): gridded opacity with no
-        # extra continuum terms — the eclipse/direct hot-loop case.
-        self._fusable = (
-            self.opacity is not None
-            and not self.cia_idx
-            and cfg.scattering is None
-            and not cfg.cloudtop
-            and cfg.cloudrad is None
-        )
+        # Fused-kernel eligibility (rt.fused): any gridded-opacity
+        # eclipse/direct model.  Every continuum term is separable into
+        # (per-layer weight) x (static wn row), so CIA, Rayleigh, and
+        # gray clouds become extra rows of the same kernel contraction.
+        self._fusable = self.opacity is not None
+        if self._fusable:
+            rows = []
+            nL, nW = len(pressure), len(wn_grid)
+            self._cia_ntemps = []
+            for tab in cia_tables:
+                # hoist the wn interpolation of cia_extinction to setup
+                # (the wn grid is static; T-weights stay runtime)
+                wn_interp = np.stack([
+                    np.interp(np.asarray(wn_grid, np.float64),
+                              np.asarray(tab.wn, np.float64),
+                              np.asarray(row, np.float64),
+                              left=0.0, right=0.0)
+                    for row in np.asarray(tab.absorption)
+                ])
+                rows.append(np.broadcast_to(
+                    wn_interp[:, None, :], (len(tab.temps), nL, nW)))
+                self._cia_ntemps.append(len(tab.temps))
+            if cfg.scattering is not None:
+                from bart_tpu.opacity.rayleigh import (
+                    h2_rayleigh_cross_section,
+                )
+
+                sig_ray = np.asarray(
+                    h2_rayleigh_cross_section(np.asarray(wn_grid))
+                )
+                rows.append(np.broadcast_to(
+                    sig_ray[None, None, :], (1, nL, nW)))
+            if cfg.cloudtop:
+                rows.append(np.ones((1, nL, nW)))
+            if cfg.cloudrad is not None and cfg.cloudext:
+                rows.append(np.ones((1, nL, nW)))
+            if rows:
+                t["frows"] = jnp.asarray(
+                    np.concatenate(rows, axis=0), dtype)
 
         self._jitted = None
 
@@ -272,15 +302,13 @@ class ForwardModel:
         # else (CIA, Rayleigh, clouds, transit geometry, on-the-fly
         # lines) uses the composable unfused ops.
         if self._fusable and cfg.solution in ("eclipse", "direct"):
-            from bart_tpu.rt.fused import eclipse_spectrum_gridded
-
-            n_tot = t["p_barye"] / (const.K_BOLTZ * T_safe)
-            n_mol = (q[:, self.i_opac] * n_tot[:, None]).T       # [mol, L]
+            tab, wrows = self._fused_rows(params, t, T_safe, q, rad_cm)
             dr = rad_cm[:-1] - rad_cm[1:]
             drp = jnp.concatenate([jnp.zeros_like(dr[:1]), dr])
-            spectrum = eclipse_spectrum_gridded(
-                t["sigma"], wn, t["mu"], t["mu_w"],
-                self.t_min, self.t_step, T_safe, n_mol, drp,
+            from bart_tpu.rt.fused import fused_eclipse
+
+            spectrum = fused_eclipse(
+                tab, wn, t["mu"], t["mu_w"], wrows, T_safe, drp,
             )
         elif cfg.solution in ("eclipse", "direct"):
             ext = self._extinction(params, t, T_safe, q, rad_cm)
@@ -359,6 +387,65 @@ class ForwardModel:
         )
         rad_cm = rad_km * const.KM_TO_CM
         return T_safe, q, rad_cm, valid
+
+    def _fused_rows(self, params, t, T_safe, q, rad_cm):
+        """(tab [R, L, wn], wrows [L, R]) for rt.fused.fused_eclipse —
+        the whole extinction as one rows-contraction.  Weight formulas
+        mirror _extinction term by term (same clamping/bracketing)."""
+        cfg = self.config
+        nPT = cfg.n_pt
+        sigma = t["sigma"]
+        M, nT, L, W = sigma.shape
+        from bart_tpu.rt.fused import interp_weights
+
+        n_tot = t["p_barye"] / (const.K_BOLTZ * T_safe)          # [cm-3]
+        n_mol = q[:, self.i_opac] * n_tot[:, None]               # [L, mol]
+        w_t = interp_weights(self.n_t, self.t_min, self.t_step, T_safe)
+        cols = [(n_mol[:, :, None] * w_t[:, None, :]).reshape(L, M * nT)]
+
+        for k, (i1, i2) in enumerate(self.cia_idx):
+            from bart_tpu.opacity.cia import LOSCHMIDT
+
+            temps = t[f"cia{k}_temps"]
+            nTc = self._cia_ntemps[k]
+            it = jnp.clip(jnp.searchsorted(temps, T_safe) - 1, 0, nTc - 2)
+            f = jnp.clip(
+                (T_safe - temps[it]) / (temps[it + 1] - temps[it]), 0.0, 1.0
+            )
+            iota = jnp.arange(nTc)
+            w_c = jnp.where(iota == it[:, None], 1.0 - f[:, None], 0.0)
+            w_c = jnp.where(iota == it[:, None] + 1, w_c + f[:, None], w_c)
+            n1n2 = (q[:, i1] * n_tot / LOSCHMIDT) * (
+                q[:, i2] * n_tot / LOSCHMIDT
+            )
+            cols.append(w_c * n1n2[:, None])
+
+        if cfg.scattering is not None:
+            if cfg.scattering == "polar":                 # mode 2, unscaled
+                factor = jnp.asarray(1.0, T_safe.dtype)
+            else:                                         # mode 1: 10^param
+                ray_par = params[nPT + cfg.n_radfit + cfg.n_cloud]
+                factor = 10.0 ** ray_par
+            cols.append((factor * q[:, self.i_h2] * n_tot)[:, None])
+
+        if cfg.cloudtop:
+            ctop = params[nPT + cfg.n_radfit]
+            prof = cloud_deck_extinction(
+                t["pressure"], jnp.log10(jnp.maximum(ctop, 1e-30)), 1
+            )
+            cols.append(prof[:, 0:1])
+
+        if cfg.cloudrad is not None and cfg.cloudext:
+            prof = extended_cloud_extinction(
+                rad_cm / const.KM_TO_CM, cfg.cloudrad[0], cfg.cloudrad[1],
+                cfg.cloudext,
+            )
+            cols.append(prof[:, None])
+
+        tab = sigma.reshape(M * nT, L, W)
+        if "frows" in t:
+            tab = jnp.concatenate([tab, t["frows"]], axis=0)
+        return tab, jnp.concatenate(cols, axis=1)
 
     def _extinction(self, params, t, T_safe, q, rad_cm):
         """Step 4: extinction [cm-1] per (layer, wn) — unfused path."""

@@ -11,28 +11,41 @@ interpolated cross-sections [chain, mol, layer, wn], the extinction
 mu-attenuation — ~15 GB of HBM traffic per 512-chain batch at demo
 scale, making the forward model bandwidth-bound.  This kernel streams
 the LAYER axis instead: for each (wavenumber tile, chain block)
-program, a fori_loop walks the 100 layers keeping only [chains, tile]
+program, a fori_loop walks the layers keeping only [chains, tile]
 rows live in VMEM —
 
-    ext_l  = (interp weights x number density) @ sigma[l]   (MXU)
+    ext_l  = wrows_l @ tab[:, l, :]                         (MXU)
     tau_l  = tau_{l-1} + 0.5 (ext_{l-1} + ext_l) dr_l       (VPU)
     B_l    = Planck(T_l, wn)                                (VPU)
     S_l    = sum_k w_k mu_k exp(-tau_l / mu_k)              (VPU)
     F     += 0.5 (B_{l-1} + B_l) (S_{l-1} - S_l)            (VPU)
 
 with the closing boundary term F += B_bot S_bot (the exact isothermal
-limit, matching rt.eclipse.eclipse_intensity's summation form).  HBM
-traffic drops to the opacity-table tile + per-chain profiles + the
-output spectrum — two orders of magnitude less than the unfused path.
+limit, matching rt.eclipse.eclipse_intensity's summation form).
 
-The public entry ``eclipse_spectrum_gridded`` is a
+Generalized extinction contract: every absorber the forward model
+supports is separable into (per-chain-per-layer weight) x (static
+table row over wn), so the whole extinction is one rows-contraction
+
+    ext[l, w] = sum_r wrows[l, r] tab[r, l, w]
+
+* line opacity     rows (mol, T-node): weight = T-interp x n_mol
+                   (reference extinction.c interpolation, SURVEY 2.2)
+* CIA              rows (T-node):      weight = T-interp x n1 n2
+                   (cia.c; wn-interp of the table hoisted to setup)
+* Rayleigh         one row sigma(wn):  weight = 10^param x n_H2
+                   (set_scattering modes 1 and 2, BARTfunc.py:356-360)
+* gray cloud deck  one row of ones:    weight = kappa x ramp(p or r)
+                   (set_cloudtop / cloudrad+cloudext flags)
+
+The public entry ``fused_eclipse`` is a
 ``jax.custom_batching.custom_vmap``: called per-sample (the
 ForwardModel/`Likelihood` contract) it runs the reference jnp math;
 under ``vmap`` (every sampler batches chains this way) the whole batch
 is dispatched to the Pallas kernel on TPU, or to the vmapped jnp path
 on other backends.  Numerics are f32 in both paths with the same
-operation order per layer, so the kernel is a drop-in for the hot loop
-while `ForwardModel.diagnostics` keeps the unfused path.
+operation order per layer, so the kernel is a drop-in for the hot
+loop while `ForwardModel.diagnostics` keeps the unfused path.
 """
 
 from __future__ import annotations
@@ -44,14 +57,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from bart_tpu import constants as const
 from bart_tpu.rt.tau import TAU_CLAMP
 
-__all__ = ["eclipse_spectrum_gridded"]
+__all__ = ["fused_eclipse", "interp_weights"]
 
 _C1 = 2.0 * const.H_PLANCK * const.C_LIGHT**2   # 2 h c^2
-_VMEM_BUDGET = 10 * 2**20                        # leave headroom of 16 MB
+_VMEM_BUDGET = 20 * 2**20
+_VMEM_LIMIT = 96 * 2**20                         # v5e has 128 MB VMEM
 
 # test hook: None = auto (TPU -> pallas), True/False force
 FORCE_PALLAS: bool | None = None
@@ -59,30 +74,25 @@ FORCE_PALLAS: bool | None = None
 INTERPRET: bool = False
 
 
-def _interp_weights(sigma_nt, t_min, t_step, T):
-    """Linear-in-T interpolation weights w[..., L, nT] (identical
-    bracketing/clamping to opacity.grid.interp_opacity)."""
+def interp_weights(n_nodes, t_min, t_step, T):
+    """Uniform-grid linear-interpolation weights w[..., n_nodes]
+    (identical bracketing/clamping to opacity.grid.interp_opacity)."""
     x = (T - t_min) / t_step
-    i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, sigma_nt - 2)
+    i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n_nodes - 2)
     f = jnp.clip(x - i0, 0.0, 1.0)
-    t_iota = jnp.arange(sigma_nt)
-    shape = T.shape + (sigma_nt,)
+    t_iota = jnp.arange(n_nodes)
     w = jnp.where(t_iota == i0[..., None], 1.0 - f[..., None], 0.0)
     w = jnp.where(t_iota == i0[..., None] + 1, w + f[..., None], w)
     return w
 
 
-def _single(sigma, wn, mu, muw, t_min, t_step, T, n_mol, drp):
-    """Reference jnp path, one sample (same math as
-    opacity.grid.interp_opacity + rt.tau.tau_vertical +
+def _single(tab, wn, mu, muw, wrows, T, drp):
+    """Reference jnp path, one sample (same math as the unfused
+    pipeline: extinction einsum + rt.tau.tau_vertical +
     rt.eclipse.eclipse_flux)."""
     from bart_tpu.rt.eclipse import eclipse_flux
 
-    nT = sigma.shape[1]
-    w = _interp_weights(nT, t_min, t_step, T)                 # [L, nT]
-    sig = jnp.einsum("lt,mtlw->mlw", w, sigma,
-                     precision=jax.lax.Precision.HIGHEST)
-    ext = jnp.einsum("mlw,ml->lw", sig, n_mol,
+    ext = jnp.einsum("lr,rlw->lw", wrows, tab,
                      precision=jax.lax.Precision.HIGHEST)
     seg = 0.5 * (ext[:-1] + ext[1:]) * drp[1:, None]
     tri = jnp.tril(jnp.ones((seg.shape[0], seg.shape[0]), seg.dtype))
@@ -150,44 +160,39 @@ def _kernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
     out_ref[:, :] = 2.0 * jnp.pi * (flux + B_b * S_b)
 
 
-def _pick_blocks(L, mnt, c_pad, w_pad):
+def _pick_blocks(L, nrows, c_pad, w_pad):
     """(tile, chain block) sizes.  Pallas double-buffers every input
     block, the layer loop carries five [cb, tile] rows, and Mosaic pads
-    the mnt axis to 32 lanes — budget conservatively."""
-    mnt32 = -(-mnt // 32) * 32
+    the row axis to 32 lanes — budget conservatively (the pallas_call
+    raises the scoped-VMEM limit to _VMEM_LIMIT for the many-row
+    case, e.g. 4 molecules x 27 T-nodes + CIA)."""
+    r32 = -(-nrows // 32) * 32
     tile = 256
-    while tile > 128 and 2 * L * mnt32 * tile * 4 > _VMEM_BUDGET // 3:
+    while tile > 128 and 2 * L * r32 * tile * 4 > _VMEM_BUDGET // 3:
         tile //= 2
     cb = 128
-    while cb > 8 and (2 * L * cb * mnt32 * 4 + 8 * cb * tile * 4
+    while cb > 8 and (2 * L * cb * r32 * 4 + 8 * cb * tile * 4
                       > _VMEM_BUDGET // 3 or cb > c_pad):
         cb //= 2
     return min(tile, w_pad), min(cb, c_pad)
 
 
-def _pallas_batch(sigma, wn, mu, muw, t_min, t_step, T, n_mol, drp):
-    """Batched Pallas dispatch: T [C, L], n_mol [C, M, L], drp [C, L]."""
+def _pallas_batch(tab, wn, mu, muw, wrows, T, drp):
+    """Batched Pallas dispatch: wrows [C, L, R], T [C, L], drp [C, L]."""
     f32 = jnp.float32
-    M, nT, L, W = sigma.shape
+    R, L, W = tab.shape
     C = T.shape[0]
     nmu = int(mu.shape[0])
-    mnt = M * nT
 
-    w_int = _interp_weights(nT, t_min, t_step, T.astype(f32))  # [C, L, nT]
-    # fold number densities into the interp weights: ext = wnm @ tab
-    nm = jnp.transpose(n_mol.astype(f32), (0, 2, 1))           # [C, L, M]
-    wnm = (w_int[:, :, None, :] * nm[:, :, :, None]).reshape(C, L, mnt)
-
-    # pad the wn axis to a tile multiple and chains to a block multiple
-    tile, cb = _pick_blocks(L, mnt, max(C, 8), max(W, 128))
+    tile, cb = _pick_blocks(L, R, max(C, 8), max(W, 128))
     w_pad = -(-W // tile) * tile
     c_pad = -(-C // cb) * cb
-    tab = jnp.transpose(sigma.astype(f32), (2, 0, 1, 3)).reshape(L, mnt, W)
-    tab = jnp.pad(tab, ((0, 0), (0, 0), (0, w_pad - W)))
+    tab_t = jnp.pad(jnp.transpose(tab.astype(f32), (1, 0, 2)),
+                    ((0, 0), (0, 0), (0, w_pad - W)))          # [L, R, Wp]
     wn_p = jnp.pad(wn.astype(f32), (0, w_pad - W), constant_values=1.0)
 
-    wnm_t = jnp.pad(jnp.transpose(wnm, (1, 0, 2)),
-                    ((0, 0), (0, c_pad - C), (0, 0)))          # [L, Cp, mnt]
+    wnm_t = jnp.pad(jnp.transpose(wrows.astype(f32), (1, 0, 2)),
+                    ((0, 0), (0, c_pad - C), (0, 0)))          # [L, Cp, R]
     aux = jnp.stack([T.astype(f32), drp.astype(f32)], axis=-1) # [C, L, 2]
     aux_t = jnp.pad(jnp.transpose(aux, (1, 0, 2)),
                     ((0, 0), (0, c_pad - C), (0, 0)),
@@ -198,8 +203,8 @@ def _pallas_batch(sigma, wn, mu, muw, t_min, t_step, T, n_mol, drp):
         functools.partial(_kernel, L=L, nmu=nmu),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((L, mnt, tile), lambda i, j: (0, 0, i)),
-            pl.BlockSpec((L, cb, mnt), lambda i, j: (0, j, 0)),
+            pl.BlockSpec((L, R, tile), lambda i, j: (0, 0, i)),
+            pl.BlockSpec((L, cb, R), lambda i, j: (0, j, 0)),
             pl.BlockSpec((L, cb, 2), lambda i, j: (0, j, 0)),
             pl.BlockSpec((1, tile), lambda i, j: (0, i)),
             pl.BlockSpec((1, nmu), lambda i, j: (0, 0)),
@@ -207,9 +212,12 @@ def _pallas_batch(sigma, wn, mu, muw, t_min, t_step, T, n_mol, drp):
         ],
         out_specs=pl.BlockSpec((cb, tile), lambda i, j: (j, i)),
         out_shape=jax.ShapeDtypeStruct((c_pad, w_pad), f32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         interpret=INTERPRET,
     )(
-        tab, wnm_t, aux_t, wn_p[None, :],
+        tab_t, wnm_t, aux_t, wn_p[None, :],
         (1.0 / mu.astype(f32))[None, :],
         (muw.astype(f32) * mu.astype(f32))[None, :],
     )
@@ -217,36 +225,33 @@ def _pallas_batch(sigma, wn, mu, muw, t_min, t_step, T, n_mol, drp):
 
 
 @jax.custom_batching.custom_vmap
-def eclipse_spectrum_gridded(sigma, wn, mu, muw, t_min, t_step,
-                             T, n_mol, drp):
-    """Eclipse flux F[wn] from the opacity grid, one sample.
+def fused_eclipse(tab, wn, mu, muw, wrows, T, drp):
+    """Eclipse flux F[wn] from extinction rows, one sample.
 
-    sigma [mol, nT, layer, wn] cm^2/molecule; T [layer] K;
-    n_mol [mol, layer] cm^-3; drp [layer] cm with drp[0] == 0
-    (drp[l] = r_{l-1} - r_l).  Under ``vmap`` over (T, n_mol, drp) the
+    tab [rows, layer, wn] static absorber rows; wrows [layer, rows]
+    per-sample weights; T [layer] K; drp [layer] cm with drp[0] == 0
+    (drp[l] = r_{l-1} - r_l).  Under ``vmap`` over (wrows, T, drp) the
     batch runs as one fused Pallas kernel on TPU.
     """
-    return _single(sigma, wn, mu, muw, t_min, t_step, T, n_mol, drp)
+    return _single(tab, wn, mu, muw, wrows, T, drp)
 
 
-@eclipse_spectrum_gridded.def_vmap
-def _es_vmap(axis_size, in_batched, sigma, wn, mu, muw, t_min, t_step,
-             T, n_mol, drp):
-    tb, nb, db = in_batched[6], in_batched[7], in_batched[8]
-    if any(in_batched[:6]) or not (tb and nb and db):
+@fused_eclipse.def_vmap
+def _fe_vmap(axis_size, in_batched, tab, wn, mu, muw, wrows, T, drp):
+    wb, tb, db = in_batched[4], in_batched[5], in_batched[6]
+    if any(in_batched[:4]) or not (wb and tb and db):
         # tables batched (never happens in the samplers) — fall back
         axes = tuple(0 if b else None for b in in_batched)
         return jax.vmap(_single, in_axes=axes)(
-            sigma, wn, mu, muw, t_min, t_step, T, n_mol, drp), True
+            tab, wn, mu, muw, wrows, T, drp), True
 
     use_pallas = FORCE_PALLAS
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        out = _pallas_batch(sigma, wn, mu, muw, t_min, t_step,
-                            T, n_mol, drp).astype(T.dtype)
+        out = _pallas_batch(tab, wn, mu, muw, wrows, T, drp).astype(T.dtype)
     else:
         out = jax.vmap(
-            _single, in_axes=(None,) * 6 + (0, 0, 0)
-        )(sigma, wn, mu, muw, t_min, t_step, T, n_mol, drp)
+            _single, in_axes=(None,) * 4 + (0, 0, 0)
+        )(tab, wn, mu, muw, wrows, T, drp)
     return out, True

@@ -2,9 +2,9 @@
 
 The Pallas kernel runs in interpreter mode here (CPU); on TPU the same
 code path is exercised compiled.  Reference is the composable unfused
-pipeline (opacity.grid.interp_opacity + rt.tau.tau_vertical +
-rt.eclipse.eclipse_flux) that golden-tests elsewhere pin to the
-reference formulas (SURVEY.md 2.2/3.2).
+pipeline (opacity.grid.interp_opacity + opacity.cia/rayleigh/cloud +
+rt.tau.tau_vertical + rt.eclipse.eclipse_flux) that golden-tests
+elsewhere pin to the reference formulas (SURVEY.md 2.2/3.2).
 """
 
 import numpy as np
@@ -19,6 +19,7 @@ from bart_tpu.rt.eclipse import raygrid_weights
 
 @pytest.fixture
 def problem():
+    """Random rows-contraction problem in the fused_eclipse contract."""
     rng = np.random.default_rng(7)
     M, nT, L, W, C = 2, 9, 23, 300, 6
     sigma = jnp.asarray(rng.lognormal(-46, 2, (M, nT, L, W)))
@@ -31,11 +32,15 @@ def problem():
             [np.zeros((C, 1)), rng.uniform(1e6, 5e6, (C, L - 1))], axis=1
         )
     )
-    return (sigma, wn, jnp.asarray(mu), jnp.asarray(muw), 400.0, 100.0,
-            T, n_mol, drp)
+    tab = sigma.reshape(M * nT, L, W)
+    w_t = jax.vmap(lambda t: fused.interp_weights(nT, 400.0, 100.0, t))(T)
+    nm = jnp.transpose(n_mol, (0, 2, 1))                     # [C, L, M]
+    wrows = (nm[:, :, :, None] * w_t[:, :, None, :]).reshape(C, L, M * nT)
+    return (tab, wn, jnp.asarray(mu), jnp.asarray(muw), wrows, T, drp,
+            sigma, n_mol)
 
 
-def _unfused_reference(sigma, wn, mu, muw, t_min, t_step, T, n_mol, drp):
+def _unfused_reference(tab, wn, mu, muw, wrows, T, drp, sigma, n_mol):
     from bart_tpu.opacity.grid import interp_opacity
     from bart_tpu.rt.eclipse import eclipse_flux
     from bart_tpu.rt.tau import tau_vertical
@@ -43,7 +48,7 @@ def _unfused_reference(sigma, wn, mu, muw, t_min, t_step, T, n_mol, drp):
     n_t = sigma.shape[1]
 
     def one(T_c, nm_c, drp_c):
-        sig = interp_opacity(sigma, t_min, t_step, n_t, T_c)
+        sig = interp_opacity(sigma, 400.0, 100.0, n_t, T_c)
         ext = jnp.einsum("mlw,ml->lw", sig, nm_c,
                          precision=jax.lax.Precision.HIGHEST)
         # reconstruct a radius grid whose segments are drp
@@ -56,8 +61,8 @@ def _unfused_reference(sigma, wn, mu, muw, t_min, t_step, T, n_mol, drp):
 
 def test_single_sample_matches_unfused(problem):
     ref = _unfused_reference(*problem)
-    one = fused.eclipse_spectrum_gridded(
-        *problem[:6], problem[6][0], problem[7][0], problem[8][0]
+    one = fused.fused_eclipse(
+        *problem[:4], problem[4][0], problem[5][0], problem[6][0]
     )
     np.testing.assert_allclose(np.asarray(one), np.asarray(ref[0]),
                                rtol=1e-10)
@@ -68,9 +73,8 @@ def test_vmap_jnp_path_matches_unfused(problem):
     fused.FORCE_PALLAS = False
     try:
         got = jax.vmap(
-            lambda t, n, d: fused.eclipse_spectrum_gridded(
-                *problem[:6], t, n, d)
-        )(*problem[6:])
+            lambda w, t, d: fused.fused_eclipse(*problem[:4], w, t, d)
+        )(*problem[4:7])
     finally:
         fused.FORCE_PALLAS = old
     np.testing.assert_allclose(np.asarray(got), np.asarray(
@@ -82,9 +86,8 @@ def test_pallas_interpret_matches_unfused(problem):
     fused.FORCE_PALLAS, fused.INTERPRET = True, True
     try:
         got = jax.vmap(
-            lambda t, n, d: fused.eclipse_spectrum_gridded(
-                *problem[:6], t, n, d)
-        )(*problem[6:])
+            lambda w, t, d: fused.fused_eclipse(*problem[:4], w, t, d)
+        )(*problem[4:7])
     finally:
         fused.FORCE_PALLAS, fused.INTERPRET = old_force, old_interp
     ref = _unfused_reference(*problem)
@@ -95,7 +98,7 @@ def test_pallas_interpret_matches_unfused(problem):
 
 def test_forward_model_fused_flag_and_parity():
     """The demo-shaped ForwardModel takes the fused path and matches the
-    unfused pipeline end-to-end (band fluxes)."""
+    unfused pipeline end-to-end (spectrum + vmapped batch)."""
     import __graft_entry__ as ge
 
     fm = ge._build_problem(nlayer=12, nwave=256, nlines=300)
@@ -119,3 +122,54 @@ def test_forward_model_fused_flag_and_parity():
     band_b, spec_b, valid_b = fm.batched()(batch)
     np.testing.assert_allclose(np.asarray(spec_b[0]), np.asarray(spec),
                                rtol=1e-6)
+
+
+def test_forward_model_fused_full_continuum():
+    """CIA + fitted Rayleigh + cloud deck all fold into the fused rows
+    contraction and match the unfused ops exactly (the WASP-12b-class
+    configuration; reference csfile/scattering/cloudtop flags)."""
+    import __graft_entry__ as ge
+    from bart_tpu.opacity.cia import CiaTable
+    from bart_tpu.rt.eclipse import eclipse_flux
+    from bart_tpu.rt.forward import ForwardConfig, ForwardModel
+    from bart_tpu.rt.tau import tau_vertical
+
+    base = ge._build_problem(nlayer=12, nwave=256, nlines=300)
+    wn = np.asarray(base.wn, np.float64)
+    cia = CiaTable(
+        ("H2", "H2"),
+        temps=np.array([300.0, 900.0, 1700.0, 2600.0, 3500.0]),
+        wn=np.linspace(wn[0] - 100, wn[-1] + 100, 40),
+        absorption=np.abs(
+            np.random.default_rng(3).normal(1e-7, 3e-8, (5, 40))
+        ),
+    )
+    cfg = ForwardConfig(
+        solution="eclipse", pt_type="line", molfit=("CH4",),
+        cloudtop=True, scattering="ray",
+    )
+    fm = ForwardModel(
+        cfg,
+        wn_grid=wn,
+        pressure=np.asarray(base.pressure, np.float64),
+        species=base.species,
+        base_abundances=np.asarray(base.tables["base_q"], np.float64),
+        opacity=base.opacity,
+        system=base.system,
+        bands=base.bands,
+        cia_tables=[cia],
+        dtype=base.dtype,
+    )
+    assert fm._fusable and "frows" in fm.tables
+    # params: 5 PT + cloudtop + rayleigh + CH4
+    params = jnp.asarray(
+        [-2.0, 0.0, 1.0, 0.0, 0.98, 0.05, 0.3, -0.5], fm.dtype
+    )
+    band, spec, valid = fm(params)
+    assert bool(valid)
+
+    T, q, rad_cm, ext, _ = fm.diagnostics(params)
+    tau = tau_vertical(ext, rad_cm)
+    spec_ref = eclipse_flux(tau, T, fm.wn, fm.mu, fm.mu_w)
+    np.testing.assert_allclose(np.asarray(spec), np.asarray(spec_ref),
+                               rtol=1e-8)
