@@ -46,7 +46,7 @@ from bart_tpu.physics.hydro import anchor_index, radius_profile
 from bart_tpu.physics.pt import n_pt_params, pt_generator
 from bart_tpu.rt.eclipse import eclipse_flux, raygrid_weights
 from bart_tpu.rt.tau import tau_vertical
-from bart_tpu.rt.transit_geom import transit_depth
+from bart_tpu.rt.transit_geom import slant_geometry, transit_depth
 
 __all__ = ["ForwardModel", "ForwardConfig"]
 
@@ -295,12 +295,11 @@ class ForwardModel:
         wn = t["wn"]
 
         # 4+5. extinction -> geometry -> spectrum (run_transit
-        # equivalent, BARTfunc.py:363).  The gridded eclipse path with
-        # no extra continuum runs as ONE fused kernel (T-interp + tau +
-        # Planck emission streamed per layer; Pallas on TPU) — the
-        # cases the demo/WASP-12b-class hot loops hit.  Everything
-        # else (CIA, Rayleigh, clouds, transit geometry, on-the-fly
-        # lines) uses the composable unfused ops.
+        # equivalent, BARTfunc.py:363).  Every gridded-opacity model —
+        # eclipse AND transit geometry, with CIA/Rayleigh/clouds folded
+        # in as extra contraction rows — runs as ONE fused Pallas
+        # kernel on TPU (rt.fused).  Only the on-the-fly (table-free)
+        # line path uses the composable unfused ops.
         if self._fusable and cfg.solution in ("eclipse", "direct"):
             tab, wrows = self._fused_rows(params, t, T_safe, q, rad_cm)
             dr = rad_cm[:-1] - rad_cm[1:]
@@ -314,6 +313,15 @@ class ForwardModel:
             ext = self._extinction(params, t, T_safe, q, rad_cm)
             tau = tau_vertical(ext, rad_cm)
             spectrum = eclipse_flux(tau, T_safe, wn, t["mu"], t["mu_w"])
+        elif cfg.solution == "transit" and self._fusable:
+            tab, wrows = self._fused_rows(params, t, T_safe, q, rad_cm)
+            G, wgt = slant_geometry(rad_cm)
+            from bart_tpu.rt.fused import fused_transit
+
+            absorbed = fused_transit(tab, wrows, G, wgt)
+            spectrum = (rad_cm[-1] ** 2 + absorbed) / (
+                self.system.r_star * 100.0
+            ) ** 2
         elif cfg.solution == "transit":
             ext = self._extinction(params, t, T_safe, q, rad_cm)
             spectrum = transit_depth(ext, rad_cm, self.system.r_star * 100.0)

@@ -62,7 +62,7 @@ from jax.experimental.pallas import tpu as pltpu
 from bart_tpu import constants as const
 from bart_tpu.rt.tau import TAU_CLAMP
 
-__all__ = ["fused_eclipse", "interp_weights"]
+__all__ = ["fused_eclipse", "fused_transit", "interp_weights"]
 
 _C1 = 2.0 * const.H_PLANCK * const.C_LIGHT**2   # 2 h c^2
 _VMEM_BUDGET = 20 * 2**20
@@ -222,6 +222,141 @@ def _pallas_batch(tab, wn, mu, muw, wrows, T, drp):
         (muw.astype(f32) * mu.astype(f32))[None, :],
     )
     return out[:C, :W]
+
+
+# ---------------------------------------------------------------------
+# Fused transit (transmission) kernel.
+#
+# Same rows-contraction extinction contract as fused_eclipse, but the
+# geometry is slant-path: with (G, wgt) = rt.transit_geom.slant_geometry
+# the whole per-sample observable is three MXU contractions
+#
+#     ext = wrows @ tab          [L, W]   (T-interp x line/CIA/... rows)
+#     tau = G @ ext              [L, W]   (slant-path quadrature)
+#     out = wgt @ (1 - e^-tau)   [W]      (annulus trapezoid)
+#
+# and depth = (r_deep^2 + out) / r_star^2 is finished by the caller.
+# Unlike the eclipse recurrence, tau couples ALL layers per impact
+# parameter, so the kernel first streams the layers once to build ext
+# in VMEM scratch, then runs the two geometry matmuls per chain —
+# never materializing [chain, mol, layer, wn] or [chain, layer, wn]
+# intermediates in HBM (the unfused path's bandwidth bill).
+
+
+def _tsingle(tab, wrows, G, wgt):
+    """Reference jnp path, one sample (same math as interp_opacity
+    einsum + rt.tau.tau_slant + transit_depth via slant_geometry)."""
+    ext = jnp.einsum("lr,rlw->lw", wrows, tab,
+                     precision=jax.lax.Precision.HIGHEST)
+    tau = jax.lax.dot_general(
+        G, ext, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    absorb = 1.0 - jnp.exp(-jnp.minimum(tau, TAU_CLAMP))
+    return jnp.einsum("l,lw->w", wgt, absorb,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _tkernel(tab_ref, wnm_ref, g_ref, wgt_ref, out_ref, ext_scr,
+             *, L, CB):
+    """One (wn tile, chain block) program: layer-streamed extinction
+    into VMEM scratch, then per-chain slant-geometry matmuls."""
+
+    def fill(layer, _):
+        ext_scr[layer] = jax.lax.dot_general(
+            wnm_ref[layer], tab_ref[layer],
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, L, fill, 0)
+
+    for c in range(CB):
+        tau = jax.lax.dot_general(
+            g_ref[c], ext_scr[:, c, :],
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        absorb = 1.0 - jnp.exp(-jnp.minimum(tau, TAU_CLAMP))
+        out_ref[c, :] = jax.lax.dot_general(
+            wgt_ref[c : c + 1, :], absorb,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )[0]
+
+
+def _tpallas_batch(tab, wrows, G, wgt):
+    """Batched Pallas dispatch: wrows [C, L, R], G [C, L, L], wgt [C, L]."""
+    f32 = jnp.float32
+    R, L, W = tab.shape
+    C = wgt.shape[0]
+
+    tile, cb = _pick_blocks(L, R, max(C, 8), max(W, 128))
+    # the per-chain geometry matmuls keep ext scratch + G resident and
+    # unroll over the chain block — keep it small
+    cb = min(cb, 8)
+    w_pad = -(-W // tile) * tile
+    c_pad = -(-C // cb) * cb
+    tab_t = jnp.pad(jnp.transpose(tab.astype(f32), (1, 0, 2)),
+                    ((0, 0), (0, 0), (0, w_pad - W)))          # [L, R, Wp]
+    wnm_t = jnp.pad(jnp.transpose(wrows.astype(f32), (1, 0, 2)),
+                    ((0, 0), (0, c_pad - C), (0, 0)))          # [L, Cp, R]
+    g_p = jnp.pad(G.astype(f32), ((0, c_pad - C), (0, 0), (0, 0)))
+    wgt_p = jnp.pad(wgt.astype(f32), ((0, c_pad - C), (0, 0)))
+
+    grid = (w_pad // tile, c_pad // cb)
+    out = pl.pallas_call(
+        functools.partial(_tkernel, L=L, CB=cb),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, R, tile), lambda i, j: (0, 0, i)),
+            pl.BlockSpec((L, cb, R), lambda i, j: (0, j, 0)),
+            pl.BlockSpec((cb, L, L), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((cb, L), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((cb, tile), lambda i, j: (j, i)),
+        out_shape=jax.ShapeDtypeStruct((c_pad, w_pad), f32),
+        scratch_shapes=[pltpu.VMEM((L, cb, tile), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=INTERPRET,
+    )(tab_t, wnm_t, g_p, wgt_p)
+    return out[:C, :W]
+
+
+@jax.custom_batching.custom_vmap
+def fused_transit(tab, wrows, G, wgt):
+    """Annulus-integrated absorption out[wn] (see slant_geometry), one
+    sample.  tab [rows, layer, wn] static absorber rows; wrows
+    [layer, rows] per-sample weights; (G [layer, layer], wgt [layer])
+    from slant_geometry of the per-sample radii.  Under ``vmap`` over
+    (wrows, G, wgt) the batch runs as one fused Pallas kernel on TPU.
+    """
+    return _tsingle(tab, wrows, G, wgt)
+
+
+@fused_transit.def_vmap
+def _ft_vmap(axis_size, in_batched, tab, wrows, G, wgt):
+    wb, gb, cb = in_batched[1], in_batched[2], in_batched[3]
+    if in_batched[0] or not (wb and gb and cb):
+        axes = tuple(0 if b else None for b in in_batched)
+        return jax.vmap(_tsingle, in_axes=axes)(tab, wrows, G, wgt), True
+
+    use_pallas = FORCE_PALLAS
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        out = _tpallas_batch(tab, wrows, G, wgt).astype(wgt.dtype)
+    else:
+        out = jax.vmap(
+            _tsingle, in_axes=(None, 0, 0, 0)
+        )(tab, wrows, G, wgt)
+    return out, True
 
 
 @jax.custom_batching.custom_vmap

@@ -19,7 +19,33 @@ import jax.numpy as jnp
 
 from bart_tpu.rt.tau import TAU_CLAMP, tau_slant
 
-__all__ = ["transit_depth"]
+__all__ = ["transit_depth", "slant_geometry"]
+
+
+def slant_geometry(radius_cm: jax.Array):
+    """Factor the slant-path + annulus integration into two static-shape
+    operators of the (descending) layer radii alone:
+
+        tau[b, wn]   = G @ ext            (== rt.tau.tau_slant)
+        depth[wn]    = (r_deep^2 + wgt @ (1 - exp(-min(tau, CLAMP))))
+                       / r_star^2         (== transit_depth)
+
+    G[i, j] redistributes tau_slant's midpoint-trapezoid over segment
+    lengths dx onto per-layer extinction weights (dx[i,j] + dx[i,j-1]);
+    wgt[i] = 2 b_i c_i folds the impact-parameter trapezoid weights c_i
+    into one row vector.  This is what lets the whole transit geometry
+    run inside the fused Pallas kernel (rt.fused.fused_transit) as two
+    MXU contractions per chain."""
+    r2 = radius_cm**2
+    x = jnp.sqrt(jnp.maximum(r2[None, :] - r2[:, None], 0.0))
+    dx = x[:, :-1] - x[:, 1:]                                  # [L, L-1]
+    zc = jnp.zeros_like(dx[:, :1])
+    G = jnp.concatenate([dx, zc], 1) + jnp.concatenate([zc, dx], 1)
+    b = radius_cm
+    db = b[:-1] - b[1:]                                        # [L-1] > 0
+    z1 = jnp.zeros_like(db[:1])
+    c = 0.5 * (jnp.concatenate([db, z1]) + jnp.concatenate([z1, db]))
+    return G, 2.0 * c * b
 
 
 def transit_depth(

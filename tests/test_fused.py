@@ -173,3 +173,120 @@ def test_forward_model_fused_full_continuum():
     spec_ref = eclipse_flux(tau, T, fm.wn, fm.mu, fm.mu_w)
     np.testing.assert_allclose(np.asarray(spec), np.asarray(spec_ref),
                                rtol=1e-8)
+
+
+# ---------------------------------------------------------------------
+# fused_transit (slant geometry)
+
+
+@pytest.fixture
+def tproblem(problem):
+    """Transit-geometry problem reusing the eclipse fixture's extinction
+    rows, plus descending radii per chain."""
+    tab, wn, mu, muw, wrows, T, drp = problem[:7]
+    C, L = T.shape
+    rng = np.random.default_rng(11)
+    # descending radii ~ 1 R_jup with 30-80 km layer spacings
+    dr = rng.uniform(3e6, 8e6, (C, L))
+    rad = 7.1e9 - np.cumsum(dr, axis=1)
+    return tab, wrows, jnp.asarray(rad), wn
+
+
+def _unfused_transit_reference(tab, wrows, rad, wn):
+    from bart_tpu.rt.transit_geom import transit_depth
+
+    def one(w_c, r_c):
+        ext = jnp.einsum("lr,rlw->lw", w_c, tab,
+                         precision=jax.lax.Precision.HIGHEST)
+        return transit_depth(ext, r_c, 6.96e10)
+
+    return jax.vmap(one)(wrows, rad)
+
+
+def _fused_transit_batch(tab, wrows, rad, wn):
+    from bart_tpu.rt.transit_geom import slant_geometry
+
+    def one(w_c, r_c):
+        G, wgt = slant_geometry(r_c)
+        out = fused.fused_transit(tab, w_c, G, wgt)
+        return (r_c[-1] ** 2 + out) / 6.96e10**2
+
+    return jax.vmap(one)(wrows, rad)
+
+
+def test_transit_single_sample_matches_unfused(tproblem):
+    from bart_tpu.rt.transit_geom import slant_geometry
+
+    tab, wrows, rad, wn = tproblem
+    ref = _unfused_transit_reference(tab, wrows, rad, wn)
+    G, wgt = slant_geometry(rad[0])
+    out = fused.fused_transit(tab, wrows[0], G, wgt)
+    one = (rad[0, -1] ** 2 + out) / 6.96e10**2
+    np.testing.assert_allclose(np.asarray(one), np.asarray(ref[0]),
+                               rtol=1e-9)
+
+
+def test_transit_vmap_jnp_path_matches_unfused(tproblem):
+    old = fused.FORCE_PALLAS
+    fused.FORCE_PALLAS = False
+    try:
+        got = _fused_transit_batch(*tproblem)
+    finally:
+        fused.FORCE_PALLAS = old
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_unfused_transit_reference(*tproblem)),
+        rtol=1e-9,
+    )
+
+
+def test_transit_pallas_interpret_matches_unfused(tproblem):
+    old_force, old_interp = fused.FORCE_PALLAS, fused.INTERPRET
+    fused.FORCE_PALLAS, fused.INTERPRET = True, True
+    try:
+        got = _fused_transit_batch(*tproblem)
+    finally:
+        fused.FORCE_PALLAS, fused.INTERPRET = old_force, old_interp
+    ref = _unfused_transit_reference(*tproblem)
+    # kernel computes in f32; depths are O(1e-2) absolute
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4)
+
+
+def test_forward_model_fused_transit_parity():
+    """A transit-geometry ForwardModel takes the fused path and matches
+    the unfused slant pipeline end-to-end."""
+    import __graft_entry__ as ge
+    from bart_tpu.rt.forward import ForwardConfig, ForwardModel
+    from bart_tpu.rt.transit_geom import transit_depth
+
+    base = ge._build_problem(nlayer=12, nwave=256, nlines=300)
+    cfg = ForwardConfig(solution="transit", pt_type="line",
+                        molfit=("CH4",))
+    fm = ForwardModel(
+        cfg,
+        wn_grid=np.asarray(base.wn, np.float64),
+        pressure=np.asarray(base.pressure, np.float64),
+        species=base.species,
+        base_abundances=np.asarray(base.tables["base_q"], np.float64),
+        opacity=base.opacity,
+        system=base.system,
+        bands=base.bands,
+        dtype=base.dtype,
+    )
+    assert fm._fusable
+    # params: 5 PT + radius + CH4
+    r0 = fm.r0_km
+    params = jnp.asarray([-2.0, 0.0, 1.0, 0.0, 0.98, r0, -0.5], fm.dtype)
+    band, spec, valid = fm(params)
+    assert bool(valid)
+
+    T, q, rad_cm, ext, _ = fm.diagnostics(params)
+    spec_ref = transit_depth(ext, rad_cm, fm.system.r_star * 100.0)
+    np.testing.assert_allclose(np.asarray(spec), np.asarray(spec_ref),
+                               rtol=1e-9)
+
+    # batched (vmapped) evaluation agrees with per-sample
+    batch = jnp.stack([params, params])
+    band_b, spec_b, valid_b = fm.batched()(batch)
+    np.testing.assert_allclose(np.asarray(spec_b[0]), np.asarray(spec),
+                               rtol=1e-6)
