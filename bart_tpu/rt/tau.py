@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["tau_vertical", "tau_slant", "TAU_CLAMP"]
+__all__ = ["tau_vertical", "tau_slant", "slant_chords", "TAU_CLAMP"]
 
 # Saturation value standing in for the reference's `toomuch` cutoff:
 # exp(-88) underflows f32, so deeper layers contribute exactly zero.
@@ -46,6 +46,25 @@ def tau_vertical(extinction: jax.Array, radius_cm: jax.Array) -> jax.Array:
     return jnp.concatenate([jnp.zeros_like(tau[:1]), tau], axis=0)
 
 
+def slant_chords(radius_cm: jax.Array) -> jax.Array:
+    """Chord coordinates x[i, k] = sqrt(r_k^2 - b_i^2) (0 where
+    r_k < b_i), with impact parameters b_i = r_i (descending radii).
+
+    f32-stable factored form: r_k^2 - r_i^2 = (d_k - d_i)(r_k + r_i)
+    with d = r - r[-1].  The naive r_k^2 - r_i^2 loses ~half the f32
+    mantissa to cancellation (r ~ 7e9 cm, layer spacing ~1e6 cm) and —
+    worse — XLA's fma contraction makes the i == k diagonal a NONZERO
+    square-rounding residual (~ulp(r^2)/2 = 2e12, i.e. a spurious
+    ~14 km tangent chord), so eager and jitted geometry disagreed at
+    the percent level in transit depth.  Here the only subtraction is
+    between the small anchored deltas (<= atmosphere height ~1e8 cm):
+    exactly rounded, exactly zero on the diagonal under any fusion."""
+    delta = radius_cm - radius_cm[-1]
+    h = jnp.maximum(delta[None, :] - delta[:, None], 0.0)
+    s = radius_cm[None, :] + radius_cm[:, None]
+    return jnp.sqrt(h * s)
+
+
 def tau_slant(extinction: jax.Array, radius_cm: jax.Array) -> jax.Array:
     """Slant-path optical depth per impact parameter: tau[b, wn].
 
@@ -55,10 +74,9 @@ def tau_slant(extinction: jax.Array, radius_cm: jax.Array) -> jax.Array:
     2*int e dx — trapezoid over the x grid, fully dense/masked (no
     per-ray ragged loops; slantpath.c equivalent).
     """
-    r2 = radius_cm**2
-    b2 = r2  # impact parameter b_i = r_i
-    # x[i, k] = path coordinate of layer k along ray i (0 when r_k < b_i)
-    x = jnp.sqrt(jnp.maximum(r2[None, :] - b2[:, None], 0.0))
+    # x[i, k] = path coordinate of layer k along ray i (0 when r_k < b_i),
+    # in the f32-stable factored form (see slant_chords)
+    x = slant_chords(radius_cm)
     # segment lengths between consecutive layers along each ray
     dx = x[:, :-1] - x[:, 1:]                                  # [L, L-1] >= 0
     emid = 0.5 * (extinction[:-1] + extinction[1:])            # [L-1, wn]

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from bart_tpu.rt.tau import TAU_CLAMP, tau_slant
+from bart_tpu.rt.tau import TAU_CLAMP, slant_chords, tau_slant
 
 __all__ = ["transit_depth", "slant_geometry"]
 
@@ -36,13 +36,13 @@ def slant_geometry(radius_cm: jax.Array):
     into one row vector.  This is what lets the whole transit geometry
     run inside the fused Pallas kernel (rt.fused.fused_transit) as two
     MXU contractions per chain."""
-    r2 = radius_cm**2
-    x = jnp.sqrt(jnp.maximum(r2[None, :] - r2[:, None], 0.0))
+    x = slant_chords(radius_cm)
     dx = x[:, :-1] - x[:, 1:]                                  # [L, L-1]
     zc = jnp.zeros_like(dx[:, :1])
     G = jnp.concatenate([dx, zc], 1) + jnp.concatenate([zc, dx], 1)
     b = radius_cm
-    db = b[:-1] - b[1:]                                        # [L-1] > 0
+    delta = radius_cm - radius_cm[-1]
+    db = delta[:-1] - delta[1:]                                # [L-1] > 0
     z1 = jnp.zeros_like(db[:1])
     c = 0.5 * (jnp.concatenate([db, z1]) + jnp.concatenate([z1, db]))
     return G, 2.0 * c * b
@@ -57,7 +57,9 @@ def transit_depth(
     absorb = 1.0 - jnp.exp(-tau)
     b = radius_cm                                                   # [L]
     # 2 int (1 - e^-tau) b db, trapezoid over impact parameters
-    db = b[:-1] - b[1:]                                             # [L-1] > 0
+    # (anchored-delta differences: exactly rounded in f32)
+    delta = radius_cm - radius_cm[-1]
+    db = delta[:-1] - delta[1:]                                     # [L-1] > 0
     integrand = absorb * b[:, None]
     ann = jnp.sum(0.5 * (integrand[:-1] + integrand[1:]) * db[:, None], axis=0)
     area = radius_cm[-1] ** 2 + 2.0 * ann                           # /pi

@@ -282,10 +282,15 @@ def test_forward_model_fused_transit_parity():
 
     T, q, rad_cm, ext, _ = fm.diagnostics(params)
     spec_ref = transit_depth(ext, rad_cm, fm.system.r_star * 100.0)
+    # both paths are f32 with different (mathematically identical)
+    # operation orders — rounding-level agreement, not bitwise
     np.testing.assert_allclose(np.asarray(spec), np.asarray(spec_ref),
-                               rtol=1e-9)
+                               rtol=1e-5)
 
-    # batched (vmapped) evaluation agrees with per-sample
+    # batched (jitted + vmapped) evaluation agrees with per-sample —
+    # this is the regression guard for the fma/cancellation bug in the
+    # old r^2 - b^2 slant chords (jit vs eager diverged by 1.7e-2;
+    # the anchored-delta form in rt.tau.slant_chords keeps it ~1e-7)
     batch = jnp.stack([params, params])
     band_b, spec_b, valid_b = fm.batched()(batch)
     np.testing.assert_allclose(np.asarray(spec_b[0]), np.asarray(spec),
