@@ -188,12 +188,20 @@ def best_fit_outputs(fm, like, space, result, out_dir: str,
     # --- PT posterior envelope (bestFit.py:429-525) ---
     # sample PT profiles from the posterior (thinned):
     flat = posterior.transpose(1, 0, 2).reshape(space.nfree, -1)
-    nsamp = min(300, flat.shape[1])
-    idx = np.linspace(0, flat.shape[1] - 1, nsamp).astype(int)
-    full_batch = space.expand(jnp.asarray(flat[:, idx].T))
-    if getattr(like, "wlike", False):
-        full_batch = full_batch[..., :-3]
-    T_batch, _, _, _, _ = fm.diagnostics_batch()(full_batch)
+    if flat.shape[1] == 0:
+        # No post-burn-in samples (numit <= burnin): envelope degenerates
+        # to the best-fit profile rather than crashing on an empty
+        # percentile (the reference would plot garbage here; we warn).
+        print("# WARNING: empty post-burn-in posterior; PT envelope uses "
+              "the best-fit profile only")
+        T_batch = np.asarray(T_best)[None, :]
+    else:
+        nsamp = min(300, flat.shape[1])
+        idx = np.linspace(0, flat.shape[1] - 1, nsamp).astype(int)
+        full_batch = space.expand(jnp.asarray(flat[:, idx].T))
+        if getattr(like, "wlike", False):
+            full_batch = full_batch[..., :-3]
+        T_batch, _, _, _, _ = fm.diagnostics_batch()(full_batch)
     plots.pt_envelope(
         pressure, np.asarray(T_batch), np.asarray(T_best),
         os.path.join(out_dir, "PT_envelope" + fext), cf_overlay=cf_overlay,
