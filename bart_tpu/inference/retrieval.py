@@ -35,39 +35,79 @@ __all__ = ["RetrievalResult", "run_mcmc", "least_squares_prefit",
            "save_checkpoint", "load_checkpoint"]
 
 
-def save_checkpoint(path: str, state: SamplerState, pos_chunks, model_chunks,
-                    done_iters: int, key) -> None:
-    """Persist the full sampler state mid-run (capability the reference
-    lacks: its chains restart from zero, SURVEY.md section 5)."""
+class _SampleStore:
+    """Append-only per-iteration sample store, [cap, nchain, nparam].
+
+    Iteration-major layout keeps every append a contiguous write, so a
+    disk-backed store (``path`` given) costs O(block) per flush — the
+    checkpoint .npz then only carries the small sampler state, never the
+    accumulated posterior (fixes the O(N^2) re-concatenation the round-1
+    checkpointing had)."""
+
+    def __init__(self, nchain: int, nparam: int, cap: int, dtype,
+                 path: str | None = None, n0: int = 0):
+        self.path = path
+        self.cap = cap
+        dt = np.dtype(dtype)
+        if path is not None:
+            nbytes = cap * nchain * nparam * dt.itemsize
+            # create, or extend in place when resuming to a longer run
+            with open(path, "ab") as f:
+                if f.tell() < nbytes:
+                    f.truncate(nbytes)
+            self.buf = np.memmap(path, dt, "r+", shape=(cap, nchain, nparam))
+        else:
+            self.buf = np.empty((cap, nchain, nparam), dt)
+        self.n = n0
+
+    def append(self, block) -> None:
+        """block: [nsteps, nchain, nparam] (the sampler's native order)."""
+        ns = block.shape[0]
+        self.buf[self.n:self.n + ns] = block
+        self.n += ns
+
+    def flush(self) -> None:
+        if self.path is not None:
+            self.buf.flush()
+
+    def iterations(self, start: int = 0) -> np.ndarray:
+        """[nsteps, nchain, nparam] view of iterations [start, n)."""
+        return self.buf[start:self.n]
+
+    def samples(self, start: int = 0, step: int = 1) -> np.ndarray:
+        """[nchain, nparam, nsteps] — the reference's output.npy layout
+        (code/bestFit.py:431-433)."""
+        return np.array(self.buf[start:self.n:step]).transpose(1, 2, 0)
+
+
+def save_checkpoint(path: str, state: SamplerState, done_iters: int,
+                    key) -> None:
+    """Persist the sampler state mid-run (capability the reference
+    lacks: its chains restart from zero, SURVEY.md section 5).  The
+    posterior/model history lives in memmap sidecars (``<path>.pos.dat``
+    / ``<path>.mod.dat``) flushed incrementally by _SampleStore."""
     arrays = {f"state/{k}": np.asarray(v) for k, v in state._asdict().items()}
     arrays["done_iters"] = np.asarray(done_iters)
     arrays["key"] = jax.random.key_data(key)
-    arrays["posterior"] = (
-        np.concatenate(pos_chunks, axis=2) if pos_chunks
-        else np.zeros((0, 0, 0))
-    )
-    if model_chunks:
-        arrays["models"] = np.concatenate(model_chunks, axis=2)
     np.savez(path, **arrays)
 
 
 def load_checkpoint(path: str):
-    """-> (state, pos_chunks, model_chunks, done_iters, key)."""
+    """-> (state, done_iters, key)."""
     z = np.load(path)
     state = SamplerState(**{
         k.split("/", 1)[1]: jnp.asarray(z[k])
         for k in z.files if k.startswith("state/")
     })
-    pos_chunks = [z["posterior"]] if z["posterior"].size else []
-    model_chunks = [z["models"]] if "models" in z.files else []
     key = jax.random.wrap_key_data(jnp.asarray(z["key"]))
-    return state, pos_chunks, model_chunks, int(z["done_iters"]), key
+    return state, int(z["done_iters"]), key
 
 
 @dataclasses.dataclass
 class RetrievalResult:
     posterior: np.ndarray      # [nchain, nfree, niter] post burn-in
-    models: np.ndarray | None  # [nchain, nmodel, niter] if savemodel
+    models: np.ndarray | None  # [nchain, nmodel, niter_total] if savemodel
+                               # (full history incl. burn-in, like MC3)
     bestp: np.ndarray          # [nfree]
     best_loglike: float
     accept_rate: float
@@ -171,18 +211,27 @@ def run_mcmc(
     key = jax.random.key(seed)
     key, k0 = jax.random.split(key)
 
-    pos_chunks, model_chunks = [], []
     done0 = 0
     if resume and checkpoint and os.path.isfile(checkpoint):
-        state, pos_chunks, model_chunks, done0, key = load_checkpoint(
-            checkpoint
-        )
+        state, done0, key = load_checkpoint(checkpoint)
         log(f"resumed from {checkpoint} at iteration {done0}")
     else:
         state = sampler.init_state(k0, init_free, dtype=dtype)
 
     iters_per_chain = max(int(np.ceil(numit / nchains)), block)
     nblocks = int(np.ceil(max(iters_per_chain - done0, 0) / block))
+    cap = done0 + nblocks * block
+    np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
+    pos_store = _SampleStore(
+        nchains, space.nfree, cap, np_dtype,
+        path=(checkpoint + ".pos.dat") if checkpoint else None, n0=done0,
+    )
+    model_store = (
+        _SampleStore(nchains, sampler.nmodel, cap, np_dtype,
+                     path=(checkpoint + ".mod.dat") if checkpoint else None,
+                     n0=done0)
+        if savemodel else None
+    )
     psrf = np.full(space.nfree, np.inf)
     converged = False
     done_iters = done0
@@ -190,18 +239,19 @@ def run_mcmc(
         key, kb = jax.random.split(key)
         state, pb, lb, mb = sampler.run_block(state, kb, block)
         done_iters += block
-        # [nsteps, nchain, nfree] -> [nchain, nfree, nsteps]
-        pos_chunks.append(np.asarray(pb).transpose(1, 2, 0))
-        if savemodel:
-            model_chunks.append(np.asarray(mb).transpose(1, 2, 0))
+        pos_store.append(np.asarray(pb))        # [nsteps, nchain, nfree]
+        if model_store is not None:
+            model_store.append(np.asarray(mb))
 
         if checkpoint and (ib + 1) % checkpoint_every == 0:
-            save_checkpoint(checkpoint, state, pos_chunks, model_chunks,
-                            done_iters, key)
+            pos_store.flush()
+            if model_store is not None:
+                model_store.flush()
+            save_checkpoint(checkpoint, state, done_iters, key)
 
         if grtest and done_iters > burnin and (ib + 1) % 10 == 0:
-            chains = np.concatenate(pos_chunks, axis=2)[:, :, burnin:]
-            psrf = gelman_rubin(chains.transpose(0, 2, 1))
+            chains = pos_store.iterations(start=burnin)
+            psrf = gelman_rubin(np.asarray(chains).transpose(1, 0, 2))
             log(
                 f"iter {done_iters*nchains:8d}/{numit}  "
                 f"GR: {np.array2string(psrf, precision=4)}  "
@@ -212,14 +262,14 @@ def run_mcmc(
                 converged = True
                 break
 
-    full = np.concatenate(pos_chunks, axis=2)        # [nchain, nfree, iters]
-    posterior = full[:, :, burnin::thinning]
-    models = (
-        np.concatenate(model_chunks, axis=2)[:, :, burnin::thinning]
-        if savemodel else None
-    )
+    posterior = pos_store.samples(start=burnin, step=thinning)
+    # models keep the FULL iteration history (no burn-in slicing): the
+    # reference's MC3 savemodel records every iteration's model, and
+    # modelper splits count raw iterations (BART.py:208-216).
+    models = model_store.samples() if model_store is not None else None
     if grtest:
-        psrf = gelman_rubin(full[:, :, burnin:].transpose(0, 2, 1))
+        psrf = gelman_rubin(
+            np.asarray(pos_store.iterations(start=burnin)).transpose(1, 0, 2))
         converged = converged or bool(np.all(psrf < grbreak))
 
     bestp = np.asarray(state.best_pos)
@@ -244,19 +294,32 @@ def run_mcmc(
     if savefile:
         np.save(savefile, posterior)
     if checkpoint:
-        save_checkpoint(checkpoint, state, pos_chunks, model_chunks,
-                        done_iters, key)
+        pos_store.flush()
+        if model_store is not None:
+            model_store.flush()
+        save_checkpoint(checkpoint, state, done_iters, key)
     if savemodel and models is not None:
         np.save(savemodel, models)
         if modelper > 0:
-            # split into numbered files every modelper iterations per
-            # chain (reference savemodel/modelper, BART.py:208-216,
-            # :582-597)
+            # Split every ``modelper`` raw iterations per chain, i.e.
+            # modelper*nchains models per numbered file (reference
+            # semantics: "If nchains=10 and modelper=5, it will save
+            # every 50 models to a new .NPY file", BART.py:208-216).
             base, ext = os.path.splitext(savemodel)
             nsplit = -(-models.shape[2] // modelper)
+            split_files = []
             for k in range(nsplit):
-                np.save(f"{base}{k:02d}{ext}",
-                        models[:, :, k * modelper:(k + 1) * modelper])
+                fname = f"{base}{k:02d}{ext}"
+                np.save(fname, models[:, :, k * modelper:(k + 1) * modelper])
+                split_files.append(fname)
+            if walk == "unif":
+                # unif sweeps move the numbered model files into a
+                # subdirectory named after savemodel (BART.py:582-597)
+                mdir = base
+                os.makedirs(mdir, exist_ok=True)
+                for fname in split_files:
+                    os.replace(fname,
+                               os.path.join(mdir, os.path.basename(fname)))
     if logfile:
         with open(logfile, "w") as f:
             f.write("\n".join(log_lines) + "\n\n")

@@ -206,13 +206,40 @@ def test_modelper_split(tmp_path):
     from bart_tpu.inference.retrieval import run_mcmc
 
     sm = str(tmp_path / "models.npy")
-    res = run_mcmc(like, space, nchains=4, numit=1200, burnin=0,
+    res = run_mcmc(like, space, nchains=4, numit=1200, burnin=100,
                    walk="mrw", seed=12, block=100, verbose=False,
                    grtest=False, savemodel=sm, modelper=100)
     whole = np.load(sm)
+    # savemodel keeps the FULL history (burn-in included): 1200/4 = 300
+    # iterations per chain regardless of burnin (MC3 semantics).
+    assert whole.shape == (4, 1, 300)
     parts = [np.load(str(tmp_path / f"models{k:02d}.npy"))
              for k in range(-(-whole.shape[2] // 100))]
+    # each split holds modelper iterations/chain = modelper*nchains
+    # models (reference: BART.py:208-216 "nchains=10 and modelper=5 ...
+    # every 50 models to a new .NPY file")
+    assert all(p.shape == (4, 1, 100) for p in parts)
     np.testing.assert_allclose(np.concatenate(parts, axis=2), whole)
+
+
+def test_modelper_unif_subdir(tmp_path):
+    """unif sweeps move numbered model files into a subdirectory named
+    after savemodel (reference: BART.py:582-597)."""
+    def forward(p):
+        return p, p, jnp.asarray(True)
+
+    space = ParamSpace([0.0], [-5], [5], [0.1])
+    like = Likelihood(forward, space, np.array([1.0]), np.array([0.3]))
+    from bart_tpu.inference.retrieval import run_mcmc
+
+    sm = str(tmp_path / "models.npy")
+    run_mcmc(like, space, nchains=4, numit=800, burnin=0,
+             walk="unif", seed=12, block=100, verbose=False,
+             grtest=False, savemodel=sm, modelper=100)
+    mdir = tmp_path / "models"
+    assert mdir.is_dir()
+    assert sorted(p.name for p in mdir.iterdir()) == [
+        "models00.npy", "models01.npy"]
 
 
 # ---------------------------------------------------------------------------
