@@ -29,8 +29,11 @@ __all__ = ["build_tli", "main"]
 def _read_part(path: str | None):
     if path in (None, "implicit"):
         return None
-    data = np.loadtxt(path)
-    return data[:, 0], data[:, 1]
+    from bart_tpu.linelist.kurucz_mol import read_kurucz_partition
+
+    # handles plain 2-column (T, Q) tables and the Kurucz multi-isotope
+    # ASCII tables (h2opartfn.dat / tiopart.dat) with text headers
+    return read_kurucz_partition(path)
 
 
 def build_tli(
@@ -66,10 +69,16 @@ def build_tli(
                 if pf is not None:
                     partition[name] = pf
         elif typ in ("ps", "ts"):
-            from bart_tpu.linelist.kurucz_mol import read_ps_binary
+            from bart_tpu.linelist.kurucz_mol import (
+                read_ps_binary, read_tio_binary,
+            )
 
-            name = hint or ("H2O" if typ == "ps" else "TiO")
-            ll = read_ps_binary(db, name, wn_min, wn_max, pf)
+            if typ == "ps":
+                name = hint or "H2O"
+                ll = read_ps_binary(db, name, wn_min, wn_max, pf)
+            else:
+                name = hint or "TiO"
+                ll = read_tio_binary(db, name, wn_min, wn_max, pf)
             per_species.setdefault(name, []).append(ll)
             if pf is not None:
                 partition[name] = pf

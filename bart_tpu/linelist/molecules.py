@@ -14,7 +14,8 @@ from __future__ import annotations
 
 import dataclasses
 
-__all__ = ["Molecule", "MOLECULES", "get_molecule", "HITRAN_IDS"]
+__all__ = ["Molecule", "MOLECULES", "get_molecule", "HITRAN_IDS",
+           "load_molfile", "register_molecules"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,5 +102,50 @@ def get_molecule(name: str) -> Molecule:
     except KeyError:
         raise KeyError(
             f"species {name!r} not in bart_tpu registry; add it to "
-            "bart_tpu/linelist/molecules.py"
+            "bart_tpu/linelist/molecules.py or supply it via a "
+            "molecules.dat-format `molfile` (load_molfile)"
         ) from None
+
+
+def load_molfile(path: str) -> dict[str, Molecule]:
+    """Parse a transit molecules.dat-format file: free-text header up to
+    a line starting ``# ID``, one separator line, then rows
+    ``ID  name  mass[amu]  diameter[Angstrom]`` until a blank line
+    (reference: scripts/broadening.py:146-188 readmol)."""
+    with open(path) as f:
+        lines = f.readlines()
+    start = 0
+    for start, line in enumerate(lines):
+        if line.startswith("# ID"):
+            break
+    else:
+        raise ValueError(f"{path}: no '# ID' column-header line found")
+    start += 2
+    out: dict[str, Molecule] = {}
+    while start < len(lines) and lines[start].strip():
+        _id, name, mass, diam = lines[start].split()[:4]
+        prev = MOLECULES.get(name)
+        out[name] = Molecule(
+            name, float(mass), float(diam),
+            # keep any registry spectroscopic constants (the molfile
+            # only carries mass + collision diameter, like the
+            # reference's)
+            linear=prev.linear if prev else None,
+            sigma_rot=prev.sigma_rot if prev else 1,
+            rot_const=prev.rot_const if prev else (),
+            vib=prev.vib if prev else (),
+            hitran_id=prev.hitran_id if prev else None,
+        )
+        start += 1
+    return out
+
+
+def register_molecules(source) -> None:
+    """Extend/override the registry from a molecules.dat path or a
+    {name: Molecule} dict (the reference's `molfile` capability,
+    code/makecfg.py:36-52)."""
+    mols = load_molfile(source) if isinstance(source, str) else source
+    MOLECULES.update(mols)
+    for name, m in mols.items():
+        if m.hitran_id:
+            HITRAN_IDS[m.hitran_id] = name
