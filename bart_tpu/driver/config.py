@@ -136,7 +136,17 @@ class RetrievalConfig:
     wnlow: float | None = None
     wnhigh: float | None = None
     wndelt: float = 1.0
-    wnosamp: float = 2160.0      # accepted, unused (direct Voigt eval)
+    wnosamp: float = 2160.0      # accepted, unused (see rtosamp)
+    # RT-grid oversampling: the whole pipeline (opacity, tau, flux,
+    # band integration) runs at wndelt/rtosamp spacing.  Replaces the
+    # reference's wnosamp with spectrum-level resolution — the only
+    # unbiased route to band-flux accuracy (docs/LINE_SAMPLING.md);
+    # the reference tabulates Voigt profiles on its wnosamp-fine grid
+    # but still point-samples tau/flux at the output spacing.
+    rtosamp: int = 1
+    # sigma-bin-averaged cross-sections (arctan-quadrature points per
+    # bin); biased for saturated lines — see docs/LINE_SAMPLING.md
+    osamp: int = 1
     wnfct: float = 1.0
     toomuch: float = 10.0
     ethresh: float = 1e-6
@@ -183,7 +193,8 @@ class RetrievalConfig:
         from bart_tpu.utils.grids import wavenumber_grid
 
         return wavenumber_grid(
-            wnlow=self.wnlow, wnhigh=self.wnhigh, wndelt=self.wndelt,
+            wnlow=self.wnlow, wnhigh=self.wnhigh,
+            wndelt=self.wndelt / max(int(self.rtosamp), 1),
             wllow=self.wllow, wlhigh=self.wlhigh, wlfct=self.wlfct,
             wnfct=self.wnfct,
         )
@@ -197,7 +208,7 @@ _BOOL_KEYS = {"log", "COswap", "leastsq", "chisqscale", "grtest", "grexit",
               "transparent", "wlike", "mpi"}
 _INT_KEYS = {"n_layers", "numit", "nchains", "burnin", "thinning",
              "modelper", "maxiter", "seed", "tauiso", "taulevel",
-             "modlevel", "verb"}
+             "modlevel", "verb", "rtosamp", "osamp"}
 _FLOAT_KEYS = {"p_top", "p_bottom", "solar_times", "refpress", "cloudtop",
                "Tmin", "Tmax", "tint", "wllow", "wlhigh", "wlfct", "wnlow",
                "wnhigh", "wndelt", "wnosamp", "wnfct", "toomuch", "ethresh",

@@ -75,6 +75,15 @@ class Pipeline:
         tlog = os.path.join(self.date_dir, "stage_timing.jsonl")
         quiet = cfg.quiet
 
+        if cfg.molfile:
+            # user molecular data extends/overrides the registry
+            # (reference `molfile` -> transit/inputs/molecules.dat,
+            # scripts/broadening.py:146-188)
+            from bart_tpu.linelist.molecules import register_molecules
+
+            register_molecules(cfg.molfile)
+            self.log(f"molfile: registered species from {cfg.molfile}")
+
         with stage_timer("pressure", tlog, not quiet):
             pressure = self.stage_pressure()
         with stage_timer("abundances", tlog, not quiet):
@@ -249,6 +258,7 @@ class Pipeline:
             lines, wn, t_grid, pressure,
             nwidth=cfg.nwidth, ethresh=cfg.ethresh,
             q_tables=getattr(tli, "partition", None) or {},
+            osamp=cfg.osamp,
         )
         save_grid(grid, path)
         self.log(f"opacity grid {tuple(np.asarray(grid.sigma).shape)} built "

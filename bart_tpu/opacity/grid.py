@@ -62,6 +62,7 @@ def build_opacity_grid(
     cond_batch: int = 32,
     dtype=jnp.float32,
     q_tables: dict | None = None,
+    osamp: int = 1,
 ) -> OpacityGrid:
     """Build the opacity table (the --justOpacity stage,
     reference BART.py:560-569 / SURVEY.md 3.3).
@@ -69,7 +70,10 @@ def build_opacity_grid(
     Conditions (T x layer) are flattened and processed in batches of
     ``cond_batch`` through the tiled cross-section kernel.
     ``ethresh`` culls lines below that fraction of the strongest line
-    (reference ethresh semantics).
+    (reference ethresh semantics).  ``osamp`` > 1 stores bin-averaged
+    cross-sections — curve-of-growth biased for saturated lines; for
+    band-flux fidelity build the table on an rtosamp-refined wn_grid
+    instead (measured trade-offs: docs/LINE_SAMPLING.md).
     """
     from bart_tpu import constants as const
     from bart_tpu.linelist.molecules import get_molecule
@@ -112,11 +116,12 @@ def build_opacity_grid(
         tb = jnp.asarray(tb.reshape(nb, cond_batch))
         pb = jnp.asarray(pb.reshape(nb, cond_batch))
 
+        wndelt = float(wn_grid[1] - wn_grid[0]) if nW > 1 else 1.0
         fn = jax.jit(
             lambda tb, pb, tiles=tiles, q_table=q_table: jax.lax.map(
                 lambda args: cross_section_grid(
                     tiles, args[0], args[1], spec, nwidth=nwidth,
-                    q_table=q_table,
+                    q_table=q_table, osamp=osamp, wndelt=wndelt,
                 ).astype(dtype),
                 (tb, pb),
             )

@@ -116,12 +116,17 @@ class ForwardModel:
         species_masses: np.ndarray | None = None,
         broadening=None,
         nwidth: float = 20.0,
+        osamp: int = 1,
         dtype=jnp.float32,
     ):
         self.config = config
         self.system = system
         self.bands = bands
         self.dtype = dtype
+        # on-the-fly bin-averaging factor (the wnosamp question;
+        # docs/LINE_SAMPLING.md) and bin width for it
+        self.osamp = int(osamp)
+        self.wndelt = float(wn_grid[1] - wn_grid[0]) if len(wn_grid) > 1 else 1.0
         cfg = config
 
         # All device arrays live in the `tables` pytree so they can be
@@ -493,7 +498,8 @@ class ForwardModel:
                 sigs.append(
                     cross_section_grid(
                         tiles, T_safe, t["p_barye"], bspec,
-                        nwidth=self.nwidth,
+                        nwidth=self.nwidth, osamp=self.osamp,
+                        wndelt=self.wndelt,
                     ).astype(dtype)
                 )
             sigma = jnp.stack(sigs)                              # [mol, L, wn]

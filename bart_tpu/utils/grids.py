@@ -69,7 +69,11 @@ def wavenumber_grid(
     wnosamp to tabulate Voigt profiles at fine resolution and snap line
     centers to the fine grid (SURVEY.md section 6).  bart_tpu evaluates
     the Voigt function directly at exact line-center offsets, so no
-    oversampled grid exists; wnosamp is accepted in configs and ignored.
+    profile-tabulation grid exists; wnosamp is accepted in configs and
+    ignored.  Spectrum-level resolution is instead controlled by the
+    ``rtosamp`` config key (the whole pipeline runs at wndelt/rtosamp
+    spacing) — the measured error budget of point sampling vs rtosamp
+    is in docs/LINE_SAMPLING.md.
     """
     if wnlow is None:
         if wllow is None or wlhigh is None:

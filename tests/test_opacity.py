@@ -348,3 +348,65 @@ def test_pallas_kernel_parity_interpret():
     # kernel runs f32; reference f64 under tests
     assert np.median(rel) < 1e-3
     assert rel.max() < 0.05
+
+
+def test_bin_averaged_mode_conserves_line_mass():
+    """osamp>1 bin-averages the cross-section over each output bin:
+    summing sigma*wndelt over the grid must recover the full line
+    strength S(T) even when the Doppler core (~1e-2 cm-1) is far
+    narrower than the 1.0 cm-1 grid — the wnosamp question
+    (docs/LINE_SAMPLING.md; reference examples/demo/BART_eclipse.cfg
+    wnosamp 2160).  Point sampling (osamp=1) integrates to the wrong
+    mass unless a gridpoint happens to hit the core."""
+    from bart_tpu.opacity.extinction import _line_strength
+
+    # one narrow line exactly mid-bin; low pressure -> Lorentz tiny
+    ll = LineList(
+        species="CH4",
+        wn0=np.array([3000.0]), s296=np.array([1e-20]),
+        elower=np.array([500.0]), gamma_air=np.array([0.05]),
+        gamma_self=np.array([0.07]), n_air=np.array([0.5]),
+        iso=np.array([1], np.int8),
+    )
+    wn = np.arange(2980.0, 3021.0, 1.0)
+    spec = BroadeningSpec()
+    T, p = jnp.array([1300.0]), jnp.array([1e3])  # K, barye (~1 mbar)
+    tiles = tile_lines(ll, wn, cutoff=25.0, tile_size=8, pad_lines_to=4)
+
+    q_fn = partition_function("CH4")
+    # the line is duplicated into every tile whose wings it reaches
+    # (wing bucketing); the physical S(T) is one slot's strength
+    s_t = float(np.asarray(_line_strength(tiles, T, q_fn)).max())
+
+    for osamp, rtol in ((16, 1e-3), (64, 1e-3)):
+        sig_avg = np.asarray(cross_section_grid(
+            tiles, T, p, spec, osamp=osamp, wndelt=1.0))[0]
+        # bin-averaged: full strength recovered
+        np.testing.assert_allclose(sig_avg.sum() * 1.0, s_t, rtol=rtol)
+        # the center bin alone holds essentially the whole line
+        np.testing.assert_allclose(sig_avg[20], s_t, rtol=5e-3)
+
+    # point sampling at the line center overshoots the bin average by
+    # ~ wndelt/(sqrt(pi)*gd) ~ 40x -- the aliasing bin-averaging fixes
+    sig_point = np.asarray(cross_section_grid(tiles, T, p, spec))[0]
+    assert sig_point.sum() > 10.0 * s_t
+
+
+def test_bin_averaged_matches_point_for_broad_lines():
+    """When lines are well resolved (Lorentz width >> bin), the bin
+    average equals the point value up to the real second-order
+    curvature term ~ (wndelt^2/24) V''/V ~ 1/(12 gl^2) — bin averaging
+    only *matters* for unresolved cores."""
+    ll = synthetic_linelist("CH4", 2500.0, 2600.0, 40, seed=5)
+    wn = 2500.0 + np.arange(101)
+    spec = BroadeningSpec()
+    T, p = jnp.array([1200.0]), jnp.array([5e7])  # 50 bar: gl ~ several cm-1
+    tiles = tile_lines(ll, wn, cutoff=200.0, tile_size=32, pad_lines_to=16)
+    a = np.asarray(cross_section_grid(tiles, T, p, spec))[0]
+    b = np.asarray(cross_section_grid(tiles, T, p, spec, osamp=16,
+                                      wndelt=1.0))[0]
+    np.testing.assert_allclose(a, b, rtol=2e-2)
+    # and the quadrature itself is converged: 16 vs 64 points agree
+    c = np.asarray(cross_section_grid(tiles, T, p, spec, osamp=64,
+                                      wndelt=1.0))[0]
+    np.testing.assert_allclose(b, c, rtol=1e-6)

@@ -1,5 +1,7 @@
 """Sharded execution tests on the 8-virtual-device CPU mesh."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -9,6 +11,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from bart_tpu.parallel.mesh import make_mesh, shard_model, table_shardings
 from test_rt import DEMO_PARAMS, make_demo_forward
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture(scope="module")
@@ -168,3 +172,53 @@ def test_sharded_on_the_fly_matches_unsharded():
         np.asarray(spec_out)[: fm_sh.n_wn_orig], np.asarray(ref_spec),
         rtol=1e-12,
     )
+
+
+def test_multihost_two_process_smoke(tmp_path):
+    """Two real OS processes form a jax.distributed group (localhost
+    coordinator over the DCN path the reference covers with mpiexec,
+    BART.py:576-580), run one sharded MCMC block over the global
+    16-chain mesh, and match the single-process result."""
+    import socket
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+        s.close()
+        return port
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    env.pop("XLA_FLAGS", None)
+
+    def run(nproc, out):
+        coord = f"localhost:{free_port()}"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, coord, str(nproc), str(pid), out],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for pid in range(nproc)
+        ]
+        logs = [p.communicate(timeout=420)[0].decode() for p in procs]
+        for p, lg in zip(procs, logs):
+            assert p.returncode == 0, lg
+        return logs
+
+    out2 = str(tmp_path / "stats2.npy")
+    logs = run(2, out2)
+    assert any("2 processes x 4 devices OK" in lg for lg in logs), logs
+
+    # single-process reference on the same 8-device problem
+    out1 = str(tmp_path / "stats1.npy")
+    run(1, out1)
+
+    s1, s2 = np.load(out1), np.load(out2)
+    np.testing.assert_allclose(s2, s1, rtol=1e-9)

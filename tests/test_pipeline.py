@@ -102,3 +102,15 @@ def test_just_opacity_stage(tmp_path):
     # rerun reuses the file (resume semantics are file-presence based)
     grid2 = Pipeline(cfg, just_opacity=True).run()
     np.testing.assert_allclose(np.asarray(grid2.sigma), np.asarray(grid.sigma))
+
+
+def test_rtosamp_refines_grid():
+    """rtosamp runs the whole pipeline at wndelt/rtosamp spacing (the
+    spectrum-level oversampling that replaces the reference's wnosamp;
+    docs/LINE_SAMPLING.md)."""
+    cfg = load_config(DEMO_CFG, {"rtosamp": "4"})
+    wn = cfg.wavenumber_grid()
+    cfg1 = load_config(DEMO_CFG)
+    wn1 = cfg1.wavenumber_grid()
+    assert len(wn) == 4 * (len(wn1) - 1) + 1
+    np.testing.assert_allclose(wn[::4], wn1, rtol=1e-12)
