@@ -103,7 +103,15 @@ def solve_equilibrium_batch(
             ],
             axis=1,
         )
-        step = np.linalg.solve(J + eye, R[:, :, None])[:, :, 0]
+        try:
+            step = np.linalg.solve(J + eye, R[:, :, None])[:, :, 0]
+        except np.linalg.LinAlgError:
+            # singular/non-finite Jacobian in some batch element (e.g.
+            # ill-posed thermo input): damped pseudo-inverse fallback
+            J = np.where(np.isfinite(J), J, 0.0)
+            R = np.where(np.isfinite(R), R, 0.0)
+            step = np.einsum("bij,bj->bi",
+                             np.linalg.pinv(J + 1e3 * eye), R)
         # step limiting (the reference's lambda-correction role):
         s = np.minimum(
             1.0, damp * 2.0 / np.maximum(np.abs(step).max(1, keepdims=True), 1e-12)
@@ -143,6 +151,21 @@ def equilibrium_abundances(
     makeatm.make_preatm:606-691).
     """
     species = [strip_janaf(s) for s in species]
+    if g_tables:
+        covered = {strip_janaf(s) for s in g_tables}
+        missing = [s for s in species if s not in covered]
+        if missing and len(missing) < len(species):
+            import warnings
+
+            warnings.warn(
+                f"g_tables (formation convention) cover only part of the "
+                f"species set — {missing} fall back to the analytic "
+                "free-atom thermochemistry.  The two conventions differ "
+                "by per-element shifts and MUST NOT be mixed in one "
+                "solve; supply tables for all species or none "
+                "(chem/thermo_tables.py module doc).",
+                stacklevel=2,
+            )
     # drop elements that no species uses to keep the system nonsingular
     used = set()
     for sp in species:

@@ -81,6 +81,11 @@ class RetrievalConfig:
 
     # --- atmosphere (BART.py:134-165) ---
     in_elem: str = "H He C N O"
+    # tabulated thermochemistry for the equilibrium stage: a NASA-7
+    # (CHEMKIN) file path, or 'builtin' for the shipped GRI-Mech data
+    # (the reference TEA's JANAF-table capability, SURVEY.md 2.4);
+    # empty -> analytic free-atom thermochemistry (chem/thermo.py)
+    thermofile: str | None = None
     out_spec: str = "H_g He_ref C_g N_g O_g H2_ref CO_g CO2_g CH4_g H2O_g"
     preatm_file: str = "elem.atm"
     atmfile: str = ""
@@ -267,7 +272,7 @@ def load_config(path: str | None = None, overrides: dict | None = None
             val = absolutize(val) if key in (
                 "tep_name", "press_file", "abun_basic", "abun_file",
                 "atmfile", "preatm_file", "linedb", "molfile", "kurucz",
-                "opacityfile", "loc_dir",
+                "opacityfile", "loc_dir", "thermofile",
             ) else val
             if val == "None":
                 val = None

@@ -196,10 +196,22 @@ class Pipeline:
             # thermochemical equilibrium (TEA subprocess replacement)
             from bart_tpu.chem.tea import equilibrium_abundances
 
+            g_tables = None
+            if cfg.thermofile:
+                # JANAF-grade tabulated thermochemistry (reference:
+                # TEA readJANAF.py; SURVEY.md 2.4) — NASA-7 file or
+                # the shipped GRI-Mech data ('builtin')
+                from bart_tpu.chem.thermo_tables import builtin_tables
+
+                tpath = (None if cfg.thermofile.lower() == "builtin"
+                         else cfg.thermofile)
+                g_tables = builtin_tables(species, path=tpath)
+                self.log(f"thermochemistry: tables from "
+                         f"{cfg.thermofile} ({len(g_tables)} species)")
             self.log("TEA-equivalent equilibrium chemistry...")
             q = equilibrium_abundances(
                 species, cfg.in_elem.split(), pressure, T, elems,
-                maxiter=cfg.maxiter,
+                maxiter=cfg.maxiter, g_tables=g_tables,
             )
 
         mu = mean_molar_mass(species, q, elems)

@@ -114,3 +114,22 @@ def test_rtosamp_refines_grid():
     wn1 = cfg1.wavenumber_grid()
     assert len(wn) == 4 * (len(wn1) - 1) + 1
     np.testing.assert_allclose(wn[::4], wn1, rtol=1e-12)
+
+
+def test_justtea_with_builtin_thermo_tables(tmp_path):
+    """The equilibrium-chemistry stage with JANAF-grade tabulated
+    thermochemistry (thermofile=builtin -> shipped GRI-Mech NASA-7
+    data; reference TEA readJANAF capability)."""
+    out = str(tmp_path / "tea")
+    cfg = load_config(DEMO_CFG, {
+        "loc_dir": out, "n_layers": "12", "quiet": "True",
+        "uniform": "None", "thermofile": "builtin",
+        "out_spec": "H_g He_ref C_g N_g O_g H2_ref CO_g CO2_g CH4_g H2O_g",
+    })
+    cfg.uniform = None  # force the TEA-equivalent path
+    atm = Pipeline(cfg, just_tea=True).run()
+    q = atm.abundances
+    assert q.shape == (12, 10)
+    np.testing.assert_allclose(q.sum(axis=1), 1.0, rtol=1e-8)
+    # H2-dominated solar gas
+    assert np.all(q[:, 5] > 0.5)
