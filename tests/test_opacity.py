@@ -326,30 +326,6 @@ def test_native_parser_parity(tmp_path):
     np.testing.assert_array_equal(a.iso, b.iso)
 
 
-def test_pallas_kernel_parity_interpret():
-    """Pallas cross-section kernel matches the jnp path (interpret mode)."""
-    from bart_tpu.opacity.kernels import cross_section_pallas
-
-    ll = synthetic_linelist("CH4", 2500.0, 2700.0, 300, seed=3)
-    wn = 2500.0 + np.arange(0, 200, 0.5)
-    spec = BroadeningSpec()
-    tiles = tile_lines(ll, wn, cutoff=25.0, tile_size=128, pad_lines_to=64)
-    T = np.array([800.0, 1500.0, 2400.0])
-    p = np.array([1e4, 1e6, 1e7])
-    ref = np.asarray(
-        cross_section_grid(tiles, jnp.asarray(T), jnp.asarray(p), spec,
-                           nwidth=20.0)
-    )
-    pal = np.asarray(
-        cross_section_pallas(tiles, T, p, spec, nwidth=20.0, interpret=True)
-    )
-    mask = ref > ref.max() * 1e-6
-    rel = np.abs(pal[mask] - ref[mask]) / ref[mask]
-    # kernel runs f32; reference f64 under tests
-    assert np.median(rel) < 1e-3
-    assert rel.max() < 0.05
-
-
 def test_bin_averaged_mode_conserves_line_mass():
     """osamp>1 bin-averages the cross-section over each output bin:
     summing sigma*wndelt over the grid must recover the full line
