@@ -33,6 +33,10 @@ def main(argv=None) -> int:
                         help="run only up to the opacity-table build")
     parser.add_argument("--justPlots", action="store_true",
                         help="re-run only the post-processing")
+    parser.add_argument("--justSpectrum", action="store_true",
+                        help="compute one spectrum from the atm file's "
+                             "own profiles and stop (the standalone "
+                             "`transit -c cfg` use case)")
     parser.add_argument("--resume", action="store_true",
                         help="reuse existing stage outputs in loc_dir")
     parser.add_argument("--profile", metavar="DIR", default=None,
@@ -56,6 +60,7 @@ def main(argv=None) -> int:
         just_tea=args.justTEA,
         just_opacity=args.justOpacity,
         just_plots=args.justPlots,
+        just_spectrum=args.justSpectrum,
         resume=args.resume,
     )
     from bart_tpu.utils.profiling import device_trace

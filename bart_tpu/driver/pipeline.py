@@ -38,6 +38,7 @@ class Pipeline:
         just_tea: bool = False,
         just_opacity: bool = False,
         just_plots: bool = False,
+        just_spectrum: bool = False,
         resume: bool = False,
         dtype=None,
     ):
@@ -45,6 +46,7 @@ class Pipeline:
         self.just_tea = just_tea
         self.just_opacity = just_opacity
         self.just_plots = just_plots
+        self.just_spectrum = just_spectrum
         self.resume = resume
 
         import jax
@@ -102,6 +104,9 @@ class Pipeline:
         if self.just_opacity:
             self.log("--justOpacity: stopping after opacity table.")
             return grid
+        if self.just_spectrum:
+            with stage_timer("spectrum", tlog, not quiet):
+                return self.stage_spectrum(atm, wn, grid)
 
         with stage_timer("forward_setup", tlog, not quiet):
             fm, like, space = self.stage_forward(atm, wn, grid)
@@ -277,13 +282,59 @@ class Pipeline:
                  f"in {time.time()-t0:.1f}s -> {path}")
         return grid
 
+    def stage_spectrum(self, atm, wn: np.ndarray, grid):
+        """One-shot spectrum from the atm file's own profiles — the
+        standalone `transit -c cfg` use case (reference SURVEY.md 2.2:
+        transit CLI without BART's MCMC around it).  Writes the
+        outspec-format file and returns (wn, spectrum)."""
+        from bart_tpu import constants as const
+
+        fm = self._build_forward(atm, wn, grid)
+        import jax
+
+        spectrum = np.asarray(jax.jit(fm.spectrum_from_profiles)(
+            atm.temperature, atm.abundances,
+            atm.radius * const.KM_TO_CM,
+        ))
+        path = self._out(self.cfg.outspec, "spectrum.dat")
+        with open(path, "w") as f:
+            f.write("#wvl [um]    flux/modulation\n")
+            for w, s in zip(wn[::-1], spectrum[::-1]):
+                f.write(f"{1e4/w:.7e}  {s:.7e}\n")
+        self.log(f"--justSpectrum: {len(wn)} samples -> {path}")
+        return wn, spectrum
+
     def stage_forward(self, atm, wn: np.ndarray, grid):
         """Forward model + likelihood assembly (BARTfunc init
         equivalent)."""
+        from bart_tpu.inference.likelihood import Likelihood, ParamSpace
+
+        cfg = self.cfg
+        fm = self._build_forward(atm, wn, grid)
+
+        cfgdir = self.date_dir
+        data = load_data_array(cfg.data, cfgdir)
+        uncert = load_data_array(cfg.uncert, cfgdir)
+        if data is None and cfg.walk == "unif":
+            # the reference synthesizes dummy data for unif sweeps
+            # (makecfg.py:178-190)
+            data = np.zeros(fm.bands.nfilters)
+            uncert = np.ones(fm.bands.nfilters)
+        if data is None:
+            raise ValueError("no data given (and walk != 'unif')")
+
+        space = ParamSpace(
+            pinit=cfg.params, pmin=cfg.pmin, pmax=cfg.pmax,
+            stepsize=cfg.stepsize, pnames=cfg.parnames,
+        )
+        like = Likelihood(fm, space, data, uncert, wlike=cfg.wlike)
+        return fm, like, space
+
+    def _build_forward(self, atm, wn: np.ndarray, grid):
+        """Construct the ForwardModel (tables, bands, CIA, geometry)."""
         from bart_tpu.io.filters import read_filter
         from bart_tpu.io.kurucz import blackbody_star, read_kurucz_pck, stellar_flux
         from bart_tpu.io.tep import PlanetSystem
-        from bart_tpu.inference.likelihood import Likelihood, ParamSpace
         from bart_tpu.obs.bands import build_band_matrix
         from bart_tpu.opacity.cia import read_cia, read_cia_hitran
         from bart_tpu.rt.forward import ForwardConfig, ForwardModel
@@ -291,6 +342,11 @@ class Pipeline:
         cfg = self.cfg
         system = PlanetSystem.from_tep(cfg.tep_name)
         filters = [read_filter(f) for f in (cfg.filters or [])]
+        if not filters:
+            # spectrum-only runs need no filters; band-integrate a
+            # dummy boxcar so the model contract holds
+            fw = np.linspace(wn[2], wn[-3], 64)
+            filters = [(fw, np.ones_like(fw))]
 
         starfl = None
         if cfg.solution in ("eclipse", "transit"):
@@ -341,26 +397,8 @@ class Pipeline:
             base_abundances=atm.abundances, opacity=grid, system=system,
             bands=bands, cia_tables=cia_tables, dtype=self.dtype,
         )
-
-        cfgdir = self.date_dir
-        data = load_data_array(cfg.data, cfgdir)
-        uncert = load_data_array(cfg.uncert, cfgdir)
-        if data is None and cfg.walk == "unif":
-            # the reference synthesizes dummy data for unif sweeps
-            # (makecfg.py:178-190)
-            data = np.zeros(bands.nfilters)
-            uncert = np.ones(bands.nfilters)
-        if data is None:
-            raise ValueError("no data given (and walk != 'unif')")
-
-        space = ParamSpace(
-            pinit=cfg.params, pmin=cfg.pmin, pmax=cfg.pmax,
-            stepsize=cfg.stepsize, pnames=cfg.parnames,
-        )
-        like = Likelihood(fm, space, data, uncert, wlike=cfg.wlike)
-        self.store = dict(system=system, starfl=starfl, filters=filters,
-                          data=data, uncert=uncert)
-        return fm, like, space
+        self.store = dict(system=system, starfl=starfl, filters=filters)
+        return fm
 
     def stage_mcmc(self, like, space):
         """The retrieval itself (BART.py:576-580 mpiexec equivalent)."""

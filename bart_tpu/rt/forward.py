@@ -296,15 +296,63 @@ class ForwardModel:
             )
         params = params.astype(dtype)
         T_safe, q, rad_cm, valid = self._profiles(params, t)
-        pressure = t["pressure"]
+        spectrum = self._spectrum(params, t, T_safe, q, rad_cm)
         wn = t["wn"]
 
-        # 4+5. extinction -> geometry -> spectrum (run_transit
-        # equivalent, BARTfunc.py:363).  Every gridded-opacity model —
-        # eclipse AND transit geometry, with CIA/Rayleigh/clouds folded
-        # in as extra contraction rows — runs as ONE fused Pallas
-        # kernel on TPU (rt.fused).  Only the on-the-fly (table-free)
-        # line path uses the composable unfused ops.
+        # 6. optional energy-balance veto (BARTfunc.py:366-383)
+        if cfg.ebalance and cfg.solution in ("eclipse", "direct"):
+            sysm = self.system
+            e_in = (
+                const.SIGMA_SB * sysm.t_star**4 * sysm.r_star**2
+                * np.pi * sysm.r_planet**2 / sysm.sma**2 * const.JOULE_TO_ERG
+            )
+            e_out = jnp.trapezoid(spectrum, wn) * 4.0 * (
+                sysm.r_planet * 100.0
+            ) ** 2
+            valid &= e_out <= e_in
+
+        # 7. band integration (BARTfunc.py:385-396; star division folded
+        #    into the band matrix for eclipse)
+        bandflux = band_integrate(t["band_w"], spectrum)
+        return bandflux, spectrum, valid
+
+    def spectrum_from_profiles(self, T, q, rad_cm=None):
+        """Spectrum directly from explicit atmosphere profiles — the
+        standalone-transit semantics (reference: `transit -c cfg`
+        computes one spectrum from the atm file's own T/q columns,
+        SURVEY.md 2.2), bypassing the PT/abundance parametrization.
+
+        T [nlayer] K; q [nlayer, nspecies] mole fractions; rad_cm
+        optional explicit radius column (hydrostatic re-derivation
+        from T/q when omitted, like makeatm.radpress).
+        """
+        t = self._tables
+        dtype = self.dtype
+        T_safe = jnp.clip(jnp.asarray(T, dtype), self.config.tmin,
+                          self.config.tmax)
+        q = jnp.asarray(q, dtype)
+        if rad_cm is None:
+            mmm = jnp.matmul(q, t["masses"],
+                             precision=jax.lax.Precision.HIGHEST)
+            rad_km = radius_profile(
+                t["pressure"], T_safe, mmm, self.config.refpress,
+                jnp.asarray(self.r0_km, dtype), self.g0_si, i0=self.i0,
+            )
+            rad_cm = rad_km * const.KM_TO_CM
+        else:
+            rad_cm = jnp.asarray(rad_cm, dtype)
+        params = jnp.zeros(self.config.n_params, dtype)
+        return self._spectrum(params, t, T_safe, q, rad_cm)
+
+    def _spectrum(self, params, t, T_safe, q, rad_cm):
+        """Steps 4+5: extinction -> geometry -> spectrum (run_transit
+        equivalent, BARTfunc.py:363).  Every gridded-opacity model —
+        eclipse AND transit geometry, with CIA/Rayleigh/clouds folded
+        in as extra contraction rows — runs as ONE fused Pallas
+        kernel on TPU (rt.fused).  Only the on-the-fly (table-free)
+        line path uses the composable unfused ops."""
+        cfg = self.config
+        wn = t["wn"]
         if self._fusable and cfg.solution in ("eclipse", "direct"):
             tab, wrows = self._fused_rows(params, t, T_safe, q, rad_cm)
             dr = rad_cm[:-1] - rad_cm[1:]
@@ -332,23 +380,7 @@ class ForwardModel:
             spectrum = transit_depth(ext, rad_cm, self.system.r_star * 100.0)
         else:
             raise ValueError(f"unknown solution {cfg.solution!r}")
-
-        # 6. optional energy-balance veto (BARTfunc.py:366-383)
-        if cfg.ebalance and cfg.solution in ("eclipse", "direct"):
-            sysm = self.system
-            e_in = (
-                const.SIGMA_SB * sysm.t_star**4 * sysm.r_star**2
-                * np.pi * sysm.r_planet**2 / sysm.sma**2 * const.JOULE_TO_ERG
-            )
-            e_out = jnp.trapezoid(spectrum, wn) * 4.0 * (
-                sysm.r_planet * 100.0
-            ) ** 2
-            valid &= e_out <= e_in
-
-        # 7. band integration (BARTfunc.py:385-396; star division folded
-        #    into the band matrix for eclipse)
-        bandflux = band_integrate(t["band_w"], spectrum)
-        return bandflux, spectrum, valid
+        return spectrum
 
     def _atmosphere(self, params, t):
         """Steps 1-4 of the hot loop: params -> (T, q, radii, extinction,

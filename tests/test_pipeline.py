@@ -133,3 +133,41 @@ def test_justtea_with_builtin_thermo_tables(tmp_path):
     np.testing.assert_allclose(q.sum(axis=1), 1.0, rtol=1e-8)
     # H2-dominated solar gas
     assert np.all(q[:, 5] > 0.5)
+
+
+def test_just_spectrum_mode(tmp_path):
+    """--justSpectrum computes one spectrum from the atm file's own
+    T/q/r columns (the standalone `transit -c cfg` use case,
+    SURVEY.md 2.2) and writes the outspec file."""
+    from bart_tpu.io.spectrum import read_spectrum
+
+    out = str(tmp_path / "spec")
+    cfg = load_config(DEMO_CFG, {
+        "loc_dir": out, "n_layers": "16", "tempdelt": "650",
+        "wndelt": "25", "quiet": "True",
+    })
+    wn, spectrum = Pipeline(cfg, just_spectrum=True).run()
+    assert np.all(np.isfinite(spectrum)) and spectrum.std() > 0
+    path = os.path.join(out, "outspec.dat")
+    assert os.path.isfile(path)
+    wn_r, spec_r = read_spectrum(path, wn=True)
+    np.testing.assert_allclose(np.sort(wn_r), wn, rtol=1e-6)
+    np.testing.assert_allclose(np.sort(spec_r)[::-1],
+                               np.sort(spectrum)[::-1], rtol=1e-6)
+
+    # consistency: the spectrum from the atm profiles matches the
+    # forward model evaluated at the config's own initial parameters
+    # (the demo atm was generated from those parameters)
+    pipe2 = Pipeline(cfg)
+    atm = pipe2.stage_atmosphere(pipe2.stage_pressure(),
+                                 pipe2.stage_abundances())
+    grid = pipe2.stage_opacity(pipe2.stage_linelist(cfg.wavenumber_grid()),
+                               cfg.wavenumber_grid(), atm.pressure)
+    fm, like, space = pipe2.stage_forward(atm, cfg.wavenumber_grid(), grid)
+    import jax.numpy as jnp
+    p = np.array(cfg.params, np.float64)
+    p[-1] = 0.0   # atm file carries UNscaled abundances (no molfit factor)
+    _, spec_params, valid = fm.jitted()(jnp.asarray(p))
+    assert bool(valid)
+    np.testing.assert_allclose(spectrum, np.asarray(spec_params),
+                               rtol=5e-3)
