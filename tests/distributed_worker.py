@@ -10,7 +10,12 @@ N*4 devices and one sharded MCMC block runs across them.
 Usage: python distributed_worker.py <coordinator> <nproc> <pid> <out>
 """
 
+import os
 import sys
+
+# Launched by absolute script path, so sys.path[0] is tests/ — add the
+# repo root so bart_tpu imports regardless of the parent's cwd/env.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 coordinator, nproc, pid, out = (
     sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
