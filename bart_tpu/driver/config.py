@@ -282,6 +282,17 @@ def load_config(path: str | None = None, overrides: dict | None = None
         import warnings
 
         warnings.warn(f"config keys ignored by bart_tpu: {sorted(unknown)}")
+    if "wnosamp" in raw and "rtosamp" not in raw:
+        import warnings
+
+        warnings.warn(
+            "config sets `wnosamp` (the reference's Voigt-tabulation "
+            "oversampling) — bart_tpu evaluates Voigt profiles at exact "
+            "line centers, so wnosamp is a no-op here.  Spectrum-level "
+            "resolution is controlled by `rtosamp` (default 1 = "
+            "reference-parity point sampling; 32 = <1e-4 band-flux "
+            "accuracy).  See docs/LINE_SAMPLING.md."
+        )
     return cfg
 
 

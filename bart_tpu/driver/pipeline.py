@@ -100,7 +100,7 @@ class Pipeline:
         with stage_timer("linelist", tlog, not quiet):
             tli = self.stage_linelist(wn)
         with stage_timer("opacity", tlog, not quiet):
-            grid = self.stage_opacity(tli, wn, pressure)
+            grid = self.stage_opacity(tli, wn, pressure, atm)
         if self.just_opacity:
             self.log("--justOpacity: stopping after opacity table.")
             return grid
@@ -254,7 +254,8 @@ class Pipeline:
                  f"{list(data.lines)}")
         return data
 
-    def stage_opacity(self, tli, wn: np.ndarray, pressure: np.ndarray):
+    def stage_opacity(self, tli, wn: np.ndarray, pressure: np.ndarray,
+                      atm=None):
         """Opacity grid build/reuse (BART.py:560-569)."""
         from bart_tpu.opacity.grid import build_opacity_grid, load_grid, save_grid
 
@@ -273,6 +274,7 @@ class Pipeline:
         t0 = time.time()
         grid = build_opacity_grid(
             lines, wn, t_grid, pressure,
+            spec=self._broadening(atm),
             nwidth=cfg.nwidth, ethresh=cfg.ethresh,
             q_tables=getattr(tli, "partition", None) or {},
             osamp=cfg.osamp,
@@ -281,6 +283,19 @@ class Pipeline:
         self.log(f"opacity grid {tuple(np.asarray(grid.sigma).shape)} built "
                  f"in {time.time()-t0:.1f}s -> {path}")
         return grid
+
+    def _broadening(self, atm):
+        """Collision-broadening bath from the baseline atmosphere's own
+        H2/He mixing ratios (reference reads them from the atm file,
+        code/BARTfunc.py:189-201); defaults when no atm is available."""
+        from bart_tpu.opacity.extinction import BroadeningSpec
+
+        if atm is None:
+            return BroadeningSpec()
+        spec = BroadeningSpec.from_abundances(atm.species, atm.abundances)
+        self.log(f"broadening bath from atm: q_H2={spec.q_h2:.4f} "
+                 f"q_He={spec.q_he:.4f}")
+        return spec
 
     def stage_spectrum(self, atm, wn: np.ndarray, grid):
         """One-shot spectrum from the atm file's own profiles — the
@@ -392,10 +407,15 @@ class Pipeline:
                     else (0.0, 20.0, 40.0, 60.0, 80.0),
             tint=cfg.tint, tint_type=cfg.tint_type,
         )
+        from bart_tpu.opacity.extinction import BroadeningSpec
+
         fm = ForwardModel(
             fconfig, wn_grid=wn, pressure=atm.pressure, species=atm.species,
             base_abundances=atm.abundances, opacity=grid, system=system,
             bands=bands, cia_tables=cia_tables, dtype=self.dtype,
+            broadening=BroadeningSpec.from_abundances(
+                atm.species, atm.abundances),
+            nwidth=cfg.nwidth,
         )
         self.store = dict(system=system, starfl=starfl, filters=filters)
         return fm

@@ -81,6 +81,23 @@ class BroadeningSpec:
     q_h2: float = 0.85
     q_he: float = 0.15
 
+    @classmethod
+    def from_abundances(cls, species, abundances, mode: str = "collision"
+                        ) -> "BroadeningSpec":
+        """Collision-broadening bath from the baseline atmosphere's own
+        H2/He mixing ratios (the reference reads these columns from the
+        atm file: code/BARTfunc.py:189-201; scripts/broadening.py uses
+        the same fractions).  Mean over layers; falls back to the
+        0.85/0.15 defaults when either collider is absent."""
+        sp = list(species)
+        q = np.asarray(abundances, np.float64)
+        if "H2" in sp and "He" in sp:
+            qh2 = float(np.mean(q[:, sp.index("H2")]))
+            qhe = float(np.mean(q[:, sp.index("He")]))
+            if qh2 > 0.0 or qhe > 0.0:
+                return cls(mode=mode, q_h2=qh2, q_he=qhe)
+        return cls(mode=mode)
+
     def gamma_lorentz(self, lines: "LineTiles", mass_g: float, diam_cm: float,
                       T, p_barye):
         """Lorentz HWHM [cm-1]; T,p arrays broadcast against line axes."""

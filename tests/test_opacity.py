@@ -386,3 +386,31 @@ def test_bin_averaged_matches_point_for_broad_lines():
     c = np.asarray(cross_section_grid(tiles, T, p, spec, osamp=64,
                                       wndelt=1.0))[0]
     np.testing.assert_allclose(b, c, rtol=1e-6)
+
+
+def test_broadening_from_abundances():
+    """Collision bath built from the baseline atmosphere's own H2/He
+    columns (reference reads them from the atm file,
+    code/BARTfunc.py:189-201), with defaults when colliders are absent."""
+    sp = ["H2", "He", "CH4"]
+    q = np.tile([0.80, 0.19, 0.01], (5, 1))
+    b = BroadeningSpec.from_abundances(sp, q)
+    assert b.q_h2 == pytest.approx(0.80) and b.q_he == pytest.approx(0.19)
+    # no H2/He columns -> reference defaults
+    b2 = BroadeningSpec.from_abundances(["H2O", "CO"], np.ones((3, 2)))
+    assert b2.q_h2 == 0.85 and b2.q_he == 0.15
+    # the bath ratio feeds through to the Lorentz width (more He ->
+    # narrower, since He is a smaller/lighter collider)
+    from bart_tpu.linelist.hitran import LineList
+
+    ll = synthetic_linelist("CH4", 2500.0, 2510.0, 3, seed=7)
+    wn = 2500.0 + np.arange(11)
+    tiles = tile_lines(ll, wn, cutoff=50.0, tile_size=16, pad_lines_to=8)
+    T, p = jnp.array([1000.0]), jnp.array([1e6])
+    hi_h2 = BroadeningSpec(q_h2=1.0, q_he=0.0)
+    hi_he = BroadeningSpec(q_h2=0.0, q_he=1.0)
+    g1 = np.asarray(hi_h2.gamma_lorentz(tiles, 16 * 1.66e-24, 3.8e-8,
+                                        T, p))
+    g2 = np.asarray(hi_he.gamma_lorentz(tiles, 16 * 1.66e-24, 3.8e-8,
+                                        T, p))
+    assert np.all(g1 > g2)

@@ -33,9 +33,13 @@ def test_config_parses_reference_demo():
         pytest.skip("reference not mounted")
     import warnings
 
-    with warnings.catch_warnings():
-        warnings.simplefilter("error")   # every reference key is accepted
+    with warnings.catch_warnings(record=True) as wrec:
+        warnings.simplefilter("always")
         cfg = load_config(ref_cfg)
+    # every reference key is accepted ...
+    assert not any("ignored by bart_tpu" in str(w.message) for w in wrec)
+    # ... and a config that sets wnosamp is pointed at the live knob
+    assert any("rtosamp" in str(w.message) for w in wrec)
     assert cfg.solution == "eclipse"
     assert cfg.molfit == ["CH4"]
     assert cfg.walk == "snooker"
