@@ -58,7 +58,9 @@ __all__ = [
     "LineTiles",
     "BroadeningSpec",
     "tile_lines",
+    "tile_lines_bucketed",
     "cross_section_grid",
+    "cross_section_tiles",
     "wing_cutoff",
 ]
 
@@ -194,13 +196,22 @@ def tile_lines(
     cutoff: float,
     tile_size: int = 256,
     pad_lines_to: int = 128,
+    ethresh: float = 0.0,
 ) -> LineTiles:
     """Bucket lines onto wn-grid tiles (host-side, runs once).
 
     Each tile of ``tile_size`` grid points receives every line whose
     center lies within ``cutoff`` of the tile's span.  Per-tile counts
     are padded up to a common multiple of ``pad_lines_to``.
+
+    ``ethresh`` > 0 culls lines weaker than ethresh x max(S296) BEFORE
+    bucketing (the reference's extinction.c line-strength cutoff,
+    applied at tiling time so culled lines cost neither memory nor
+    Voigt evaluations; WASP-12b cfg uses ethresh 1e-99 = keep all,
+    demo cfg 1e-6).
     """
+    if ethresh > 0 and lines.nlines:
+        lines = lines.cull(ethresh)
     wn_grid = np.asarray(wn_grid, np.float64)
     n = len(wn_grid)
     nt = -(-n // tile_size)
@@ -243,6 +254,80 @@ def tile_lines(
     )
 
 
+def tile_lines_bucketed(
+    lines: LineList,
+    wn_grid: np.ndarray,
+    cutoff: float,
+    tile_size: int = 256,
+    pad_lines_to: int = 128,
+    ethresh: float = 0.0,
+) -> list[tuple[np.ndarray, LineTiles]]:
+    """Variable-depth tiling: tiles grouped into geometric depth
+    classes so per-tile padding is bounded by 2x instead of the global
+    max (uniform tiling pads EVERY tile to the deepest tile's line
+    count — measured 2.4-7x Voigt-work inflation under HITEMP-like
+    band-head density skew; SURVEY.md 7 "lines per bin vary wildly").
+
+    Returns [(tile_indices, LineTiles), ...] where each LineTiles
+    covers only the listed tiles, padded to that class's depth.
+    Reassemble per-tile outputs with the tile indices
+    (opacity.grid.build_opacity_grid does this for the table build).
+    """
+    if ethresh > 0 and lines.nlines:
+        lines = lines.cull(ethresh)
+    wn_grid = np.asarray(wn_grid, np.float64)
+    n = len(wn_grid)
+    nt = -(-n // tile_size)
+    npad = nt * tile_size - n
+    wn_padded = np.concatenate([wn_grid, np.full(npad, wn_grid[-1])])
+    grid_mask = np.concatenate([np.ones(n, bool), np.zeros(npad, bool)])
+    wn_tiles = wn_padded.reshape(nt, tile_size)
+    grid_mask = grid_mask.reshape(nt, tile_size)
+
+    lo = np.searchsorted(lines.wn0, wn_tiles[:, 0] - cutoff)
+    hi = np.searchsorted(lines.wn0, wn_tiles[:, -1] + cutoff)
+    counts = hi - lo
+
+    # geometric classes (bounds the number of compiled programs at
+    # ~log2 of the depth range); each class pads to ITS OWN max count
+    # rounded to pad_lines_to, not the geometric bound
+    class_of = np.ceil(
+        np.log2(np.maximum(counts, 1) / pad_lines_to)
+    ).clip(min=0).astype(int)
+    out = []
+    for cls in np.unique(class_of):
+        sel = np.where(class_of == cls)[0]
+        max_l = int(max(counts[sel].max(), 1))
+        max_l = -(-max_l // pad_lines_to) * pad_lines_to
+        idx = lo[sel][:, None] + np.arange(max_l)[None, :]
+        weight = (idx < hi[sel][:, None]).astype(np.float64)
+        idx = np.clip(idx, 0, max(lines.nlines - 1, 0))
+        if lines.nlines == 0:
+            z = np.zeros((len(sel), max_l))
+            tiles = LineTiles(
+                lines.species, jnp.asarray(wn_tiles[sel]),
+                jnp.asarray(grid_mask[sel]), jnp.asarray(z), jnp.asarray(z),
+                jnp.asarray(z), jnp.asarray(z), jnp.asarray(z),
+                jnp.asarray(z), cutoff, n,
+            )
+        else:
+            tiles = LineTiles(
+                species=lines.species,
+                wn_tiles=jnp.asarray(wn_tiles[sel]),
+                grid_mask=jnp.asarray(grid_mask[sel]),
+                wn0=jnp.asarray(lines.wn0[idx]),
+                s296=jnp.asarray(lines.s296[idx]),
+                elower=jnp.asarray(lines.elower[idx]),
+                gamma_air=jnp.asarray(lines.gamma_air[idx]),
+                n_air=jnp.asarray(lines.n_air[idx]),
+                weight=jnp.asarray(weight),
+                cutoff=cutoff,
+                n_grid=n,
+            )
+        out.append((sel, tiles))
+    return out
+
+
 def _line_strength(tiles: LineTiles, T, q_fn: Callable):
     """S(T) per line [cond..., nt, L] (HITRAN convention)."""
     c2 = const.C2
@@ -256,18 +341,20 @@ def _line_strength(tiles: LineTiles, T, q_fn: Callable):
     return tiles.s296 * qr * boltz * stim * tiles.weight
 
 
-def cross_section_grid(
+def cross_section_tiles(
     tiles: LineTiles,
     T: jax.Array,
     p_barye: jax.Array,
     spec: BroadeningSpec,
     nwidth: float = 0.0,
     q_table=None,
-    batch_tiles: int = 0,
     osamp: int = 1,
     wndelt: float = 1.0,
 ) -> jax.Array:
-    """Cross-section sigma[cond, n_grid] in cm^2/molecule.
+    """Per-tile cross-sections sigma[cond, nt, W] in cm^2/molecule
+    (building block for variable-depth tile buckets, whose per-tile
+    outputs the caller reassembles by index; ``cross_section_grid``
+    is the flattened single-tiling view).
 
     ``T``/``p_barye`` are 1-D condition batches (e.g. layers, or a
     flattened (T_grid x p_grid) for table builds).  ``nwidth`` > 0
@@ -358,6 +445,26 @@ def cross_section_grid(
         contrib = (s * w)[:, :, None] * prof
         return jnp.sum(contrib, axis=1)  # [nt, W]
 
-    sig_tiles = jax.vmap(per_cond)(T, p_barye)  # [cond, nt, W]
+    return jax.vmap(per_cond)(T, p_barye)  # [cond, nt, W]
+
+
+def cross_section_grid(
+    tiles: LineTiles,
+    T: jax.Array,
+    p_barye: jax.Array,
+    spec: BroadeningSpec,
+    nwidth: float = 0.0,
+    q_table=None,
+    batch_tiles: int = 0,
+    osamp: int = 1,
+    wndelt: float = 1.0,
+) -> jax.Array:
+    """Cross-section sigma[cond, n_grid] in cm^2/molecule — the
+    flattened-to-grid view of ``cross_section_tiles`` (see that
+    function for the full semantics of every argument)."""
+    sig_tiles = cross_section_tiles(
+        tiles, T, p_barye, spec, nwidth=nwidth, q_table=q_table,
+        osamp=osamp, wndelt=wndelt,
+    )
     ncond = T.shape[0]
     return sig_tiles.reshape(ncond, -1)[:, : tiles.n_grid]

@@ -23,8 +23,8 @@ import jax.numpy as jnp
 from bart_tpu.linelist.hitran import LineList
 from bart_tpu.opacity.extinction import (
     BroadeningSpec,
-    cross_section_grid,
-    tile_lines,
+    cross_section_tiles,
+    tile_lines_bucketed,
     wing_cutoff,
 )
 
@@ -91,22 +91,27 @@ def build_opacity_grid(
     species = list(lines_by_species)
     sigma = np.zeros((len(species), ncond, nW), np.float32)
 
+    nWp = -(-nW // tile_size) * tile_size
     for im, name in enumerate(species):
         ll = lines_by_species[name]
-        if ethresh > 0:
-            ll = ll.cull(ethresh)
         mol = get_molecule(name)
         cutoff = wing_cutoff(
             nwidth, float(wn_grid[-1]), float(t_grid[0]),
             float(pressure_bar[-1]) * const.BAR_TO_BARYE,
             mol.mass * const.AMU, mol.diameter * 1e-8, spec,
         )
-        tiles = tile_lines(ll, wn_grid, cutoff, tile_size=tile_size)
+        # Variable-depth tile buckets: geometric depth classes bound
+        # the per-tile padding at 2x where uniform tiling pays the
+        # deepest tile's line count everywhere (2.4-7x measured under
+        # HITEMP-like band-head skew; docs/PERFORMANCE.md scale table).
+        buckets = tile_lines_bucketed(
+            ll, wn_grid, cutoff, tile_size=tile_size, ethresh=ethresh,
+        )
         q_table = (q_tables or {}).get(name)
 
-        # One compiled program for the whole build: lax.map over
-        # condition batches (sequential on device, so peak memory stays
-        # one batch) — a single dispatch instead of ncond/cond_batch
+        # One compiled program per depth class: lax.map over condition
+        # batches (sequential on device, so peak memory stays one
+        # batch) — a single dispatch instead of ncond/cond_batch
         # round-trips through the host.
         nb = -(-ncond // cond_batch)
         tb = np.full(nb * cond_batch, conds_T[-1])
@@ -117,17 +122,41 @@ def build_opacity_grid(
         pb = jnp.asarray(pb.reshape(nb, cond_batch))
 
         wndelt = float(wn_grid[1] - wn_grid[0]) if nW > 1 else 1.0
-        fn = jax.jit(
-            lambda tb, pb, tiles=tiles, q_table=q_table: jax.lax.map(
-                lambda args: cross_section_grid(
-                    tiles, args[0], args[1], spec, nwidth=nwidth,
-                    q_table=q_table, osamp=osamp, wndelt=wndelt,
-                ).astype(dtype),
-                (tb, pb),
+        out = np.zeros((ncond, nWp), np.float32)
+        for tile_idx, tiles in buckets:
+            # Cap the per-dispatch footprint: the Voigt chain peaks at
+            # ~6 f32 temporaries of [cond, nt, L, W] under XLA fusion;
+            # at HITEMP depths (3M lines -> L ~ 1e6 slots/tile) an
+            # uncapped cond_batch overflows HBM and crashes the TPU
+            # worker (measured).  Budget ~2 GB of temporaries.
+            nt_b, L_b = tiles.wn0.shape
+            per_cond = 6 * nt_b * L_b * tile_size * 4
+            cb_eff = max(1, min(cond_batch, int(2e9 // max(per_cond, 1))))
+            if cb_eff != cond_batch:
+                nb_b = -(-ncond // cb_eff)
+                tb_b = np.full(nb_b * cb_eff, conds_T[-1])
+                pb_b = np.full(nb_b * cb_eff, conds_p[-1])
+                tb_b[:ncond] = conds_T
+                pb_b[:ncond] = conds_p
+                tb_b = jnp.asarray(tb_b.reshape(nb_b, cb_eff))
+                pb_b = jnp.asarray(pb_b.reshape(nb_b, cb_eff))
+            else:
+                nb_b, tb_b, pb_b = nb, tb, pb
+            fn = jax.jit(
+                lambda tb, pb, tiles=tiles, q_table=q_table: jax.lax.map(
+                    lambda args: cross_section_tiles(
+                        tiles, args[0], args[1], spec, nwidth=nwidth,
+                        q_table=q_table, osamp=osamp, wndelt=wndelt,
+                    ).astype(dtype),
+                    (tb, pb),
+                )
             )
-        )
-        out = np.asarray(fn(tb, pb)).reshape(nb * cond_batch, nW)
-        sigma[im] = out[:ncond]
+            sig_b = np.asarray(fn(tb_b, pb_b))  # [nb_b, cb_eff, nt_b, W]
+            sig_b = sig_b.reshape(nb_b * cb_eff, len(tile_idx), tile_size)
+            for j, ti in enumerate(tile_idx):
+                out[:ncond, ti * tile_size : (ti + 1) * tile_size] = (
+                    sig_b[:ncond, j])
+        sigma[im] = out[:ncond, :nW]
 
     return OpacityGrid(
         species=species,

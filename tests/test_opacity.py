@@ -414,3 +414,68 @@ def test_broadening_from_abundances():
     g2 = np.asarray(hi_he.gamma_lorentz(tiles, 16 * 1.66e-24, 3.8e-8,
                                         T, p))
     assert np.all(g1 > g2)
+
+
+def test_bucketed_tiling_matches_uniform():
+    """Variable-depth tile buckets (geometric depth classes) produce
+    bitwise the same cross-sections as the uniform max-depth tiling,
+    while bounding padding at 2x under density skew."""
+    from bart_tpu.opacity.extinction import (
+        cross_section_tiles, tile_lines_bucketed,
+    )
+
+    # heavy skew: 500 lines clustered at one band head + 20 background
+    rng = np.random.default_rng(11)
+    nu = np.sort(np.concatenate([
+        rng.normal(2550.0, 3.0, 500).clip(2500, 2700),
+        rng.uniform(2500.0, 2700.0, 20),
+    ]))
+    m = len(nu)
+    ll = LineList("CH4", nu, 1e-20 * 10 ** rng.uniform(-3, 0, m),
+                  rng.uniform(0, 2000, m), rng.uniform(0.03, 0.08, m),
+                  rng.uniform(0.05, 0.12, m), rng.uniform(0.4, 0.8, m),
+                  np.ones(m, np.int8))
+    wn = 2500.0 + np.arange(201)
+    spec = BroadeningSpec()
+    T = jnp.array([800.0, 1600.0])
+    p = jnp.array([1e5, 1e6])
+
+    uni = tile_lines(ll, wn, cutoff=25.0, tile_size=32, pad_lines_to=16)
+    buckets = tile_lines_bucketed(ll, wn, cutoff=25.0, tile_size=32,
+                                  pad_lines_to=16)
+    assert len(buckets) > 1   # the skew actually produced depth classes
+    padded_uni = uni.wn0.shape[0] * uni.wn0.shape[1]
+    padded_b = sum(t.wn0.shape[0] * t.wn0.shape[1] for _, t in buckets)
+    assert padded_b < 0.6 * padded_uni   # padding actually bounded
+
+    want = np.asarray(cross_section_grid(uni, T, p, spec, nwidth=20.0))
+    got = np.zeros((2, uni.wn0.shape[0], 32))
+    for tile_idx, tiles in buckets:
+        sig = np.asarray(cross_section_tiles(tiles, T, p, spec,
+                                             nwidth=20.0))
+        for j, ti in enumerate(tile_idx):
+            got[:, ti] = sig[:, j]
+    np.testing.assert_array_equal(got.reshape(2, -1)[:, :201], want)
+
+    # all tiles covered exactly once
+    all_idx = np.sort(np.concatenate([i for i, _ in buckets]))
+    np.testing.assert_array_equal(all_idx, np.arange(len(uni.wn0)))
+
+
+def test_tile_lines_ethresh_culls_at_tiling():
+    """ethresh at tiling time drops weak lines from the buckets
+    entirely (they cost neither memory nor Voigt evaluations)."""
+    ll = synthetic_linelist("CH4", 2500.0, 2600.0, 200, seed=3)
+    wn = 2500.0 + np.arange(101)
+    t_all = tile_lines(ll, wn, cutoff=25.0, tile_size=32, pad_lines_to=8)
+    t_cut = tile_lines(ll, wn, cutoff=25.0, tile_size=32, pad_lines_to=8,
+                       ethresh=1e-2)
+    kept = ll.cull(1e-2).nlines
+    assert kept < ll.nlines
+    assert float(np.asarray(t_cut.weight).sum()) <= float(
+        np.asarray(t_all.weight).sum())
+    # the culled tiling equals tiling the culled list
+    t_ref = tile_lines(ll.cull(1e-2), wn, cutoff=25.0, tile_size=32,
+                       pad_lines_to=8)
+    np.testing.assert_array_equal(np.asarray(t_cut.wn0),
+                                  np.asarray(t_ref.wn0))
