@@ -97,20 +97,35 @@ class Likelihood:
         # of chi^2.
         self.wlike = wlike
 
-    def __call__(self, free: jax.Array):
+    @property
+    def tables(self):
+        """The forward model's device-array pytree (None for generic
+        callables).  Passed through the sampler's jit as an ARGUMENT so
+        committed shardings drive XLA's SPMD partitioner — a pytree
+        captured by closure is embedded as replicated per-device HLO
+        constants instead, silently losing the wn sharding (and its
+        memory savings) in the compiled hot loop."""
+        return getattr(self.forward, "tables", None)
+
+    def __call__(self, free: jax.Array, tables: dict | None = None):
         """-> (loglike scalar, model[nfilt]).  vmap over leading axes."""
         full = self.space.expand(free)
+
+        def fwd(p):
+            return (self.forward(p, tables) if tables is not None
+                    else self.forward(p))
+
         if self.wlike:
             from bart_tpu.inference.wavelet import wavelet_loglike
 
-            model, _, valid = self.forward(full[..., :-3])
+            model, _, valid = fwd(full[..., :-3])
             wl = wavelet_loglike(
                 model - self.data, full[..., -3], full[..., -2],
                 full[..., -1],
             )
             chi2 = -2.0 * wl
         else:
-            model, _, valid = self.forward(full)
+            model, _, valid = fwd(full)
             resid = (model - self.data) / self.uncert
             chi2 = jnp.sum(resid * resid)
 

@@ -81,6 +81,21 @@ class EnsembleSampler:
             self.nz = max(10 * self.nfree, 2 * self.nchains, 100)
         self._run_block = None
 
+    def _eval(self, positions, tables):
+        """vmapped loglike over the ensemble.  ``tables`` (the forward
+        model's device-array pytree, when the likelihood exposes one)
+        is threaded through as a traced ARGUMENT: a sharded pytree
+        captured by closure would be embedded as replicated HLO
+        constants, losing the multi-chip wn partitioning in the
+        compiled hot loop (parallel/mesh.py design)."""
+        if tables is None:
+            return jax.vmap(self.loglike_fn)(positions)
+        return jax.vmap(lambda p: self.loglike_fn(p, tables))(positions)
+
+    @property
+    def _tables(self):
+        return getattr(self.loglike_fn, "tables", None)
+
     # ------------------------------------------------------------------
     def init_state(self, key, init_positions: np.ndarray | None = None,
                    dtype=jnp.float64) -> SamplerState:
@@ -94,7 +109,7 @@ class EnsembleSampler:
             )
         else:
             pos = jnp.asarray(init_positions, dtype)
-        logl, models = jax.vmap(self.loglike_fn)(pos)
+        logl, models = self._eval(pos, self._tables)
         zinit = jax.random.uniform(kz, (self.nz, self.nfree), dtype, lo, hi)
         # Seed the archive with the initial population (fallback draws
         # uniform so snooker differences are defined from step one):
@@ -183,10 +198,11 @@ class EnsembleSampler:
         raise ValueError(f"unknown walk {self.walk!r}")
 
     # ------------------------------------------------------------------
-    def _step(self, state: SamplerState, key) -> SamplerState:
+    def _step(self, state: SamplerState, key,
+              tables: dict | None = None) -> SamplerState:
         kp, ka = jax.random.split(key)
         xnew, log_corr = self._propose(kp, state)
-        logl_new, models_new = jax.vmap(self.loglike_fn)(xnew)
+        logl_new, models_new = self._eval(xnew, tables)
 
         log_ratio = logl_new - state.loglike + log_corr
         u = jax.random.uniform(ka, (self.nchains,), state.positions.dtype)
@@ -233,15 +249,16 @@ class EnsembleSampler:
         """
         if self._run_block is None:
             @functools.partial(jax.jit, static_argnames="nsteps")
-            def _run(state, key, nsteps):
+            def _run(state, key, tables, nsteps):
                 keys = jax.random.split(key, nsteps)
 
                 def body(st, k):
-                    st = self._step(st, k)
+                    st = self._step(st, k, tables)
                     return st, (st.positions, st.loglike, st.models)
 
                 return jax.lax.scan(body, state, keys)
 
             self._run_block = _run
-        state, (pb, lb, mb) = self._run_block(state, key, nsteps)
+        state, (pb, lb, mb) = self._run_block(state, key, self._tables,
+                                              nsteps)
         return state, pb, lb, mb

@@ -619,11 +619,15 @@ class ForwardModel:
 
     # -----------------------------------------------------------------
     def jitted(self):
-        """Single-sample jitted forward."""
+        """Single-sample jitted forward.  Tables are passed as jit
+        ARGUMENTS (not closure constants) so committed shardings reach
+        XLA's partitioner — see Likelihood.tables."""
         if self._jitted is None:
-            self._jitted = jax.jit(self.__call__)
+            fn = jax.jit(self.__call__)
+            self._jitted = lambda p: fn(p, self._tables)
         return self._jitted
 
     def batched(self):
         """vmapped forward over a chain batch: params[nchain, n_params]."""
-        return jax.jit(jax.vmap(self.__call__))
+        fn = jax.jit(jax.vmap(self.__call__, in_axes=(0, None)))
+        return lambda batch: fn(batch, self._tables)
