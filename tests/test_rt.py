@@ -149,7 +149,7 @@ def test_band_matrix_rejects_uncovered_filter():
 _DEMO_GRID_CACHE = {}
 
 
-def make_demo_forward(solution="eclipse", **cfg_kw):
+def make_demo_forward(solution="eclipse", dtype=None, **cfg_kw):
     """Small demo-shaped forward model with synthetic CH4 lines.
     The opacity grid (the expensive part: one XLA compile + build) is
     memoized across tests — it depends on nothing variable."""
@@ -188,7 +188,7 @@ def make_demo_forward(solution="eclipse", **cfg_kw):
         config,
         wn_grid=wn, pressure=pressure, species=species,
         base_abundances=base_q, opacity=grid, system=system, bands=bands,
-        dtype=jnp.float64,
+        dtype=dtype or jnp.float64,
     )
     return fm
 
