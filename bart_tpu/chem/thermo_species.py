@@ -1,0 +1,179 @@
+"""Computed JANAF-grade formation-convention thermo tables.
+
+Extends the shipped GRI-Mech NASA-7 set (chem/thermo_tables.py) to the
+species the reference's TEA covers through the full JANAF set but
+GRI-Mech does not: ions (`_ion_p`/`_ion_n` naming, reference
+makeatm.make_preatm; SURVEY.md section 2.4), alkali atoms, and the
+TiO/VO molecules the line-list layer supports.
+
+Rather than shipping fabricated "CEA data", each table is COMPUTED
+from published constants by the same statistical mechanics JANAF
+itself used (Chase 1998, introduction):
+
+    S(T)   = S_trans + S_rot + S_vib + S_el      (exact ideal-gas RRHO)
+    H(T)   = dHf(298.15) + [H(T) - H(298.15)]    (closed-form RRHO)
+    g/RT   = H/RT - S/R                           (formation convention)
+
+Inputs per species: mass, electronic levels (NIST ASD), vibrational /
+rotational constants (Huber & Herzberg 1979), and dHf(298.15) anchors
+(JANAF / CODATA; ion values derived from neutral dHf + NIST
+ionization energies with the electron-convention offset 6.197 kJ/mol
+= 2.5 R x 298.15, which reproduces the JANAF ion values: e.g.
+Na+ 609.3, H+ 1536.2, H- 139.0 kJ/mol).
+
+Sanity anchors reproduced by these formulas (tests/test_chem.py):
+S(298.15) of e- = 20.98, Na = 153.72, K = 160.34 J/mol/K (published
+JANAF values); Na ionization matches the Saha equation.
+
+The tables share the GRI set's formation convention (zero = reference-
+state elements at 298.15 K), so mixed solves are exact — the solver's
+element potentials absorb the common per-element shifts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+_R = 8.31446261815324          # J/(mol K)
+_KB = 1.380649e-23             # J/K
+_H = 6.62607015e-34            # J s
+_C = 2.99792458e10             # cm/s
+_AMU = 1.66053906660e-27       # kg
+_P0 = 1.0e5                    # 1 bar [Pa]
+_T0 = 298.15
+_EV = 96.4853321               # kJ/mol per eV
+_ECONV = 2.5 * _R * _T0 / 1000.0   # 6.197 kJ/mol electron-convention offset
+_CM_TO_K = _H * _C / _KB       # hc/k [K per cm-1] (c in cm/s above)
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeciesThermo:
+    """Constants for one computed-thermo species.
+
+    ``levels``: electronic levels [(E [cm-1], degeneracy g)].
+    ``omega``/``wexe``/``B``: diatomic constants [cm-1] (None = atom).
+    ``dhf298``: formation enthalpy at 298.15 K [kJ/mol].
+    """
+
+    name: str
+    mass: float                      # amu
+    levels: tuple                    # ((E_cm, g), ...)
+    dhf298: float                    # kJ/mol
+    omega: float | None = None       # cm-1
+    wexe: float = 0.0
+    B: float | None = None           # cm-1
+    sigma: int = 1
+
+
+def _el_stats(levels, T):
+    """Electronic q, <theta>, <theta^2> with theta = E*hc/k [K]."""
+    T = np.asarray(T, np.float64)[..., None]
+    th = np.array([e * _CM_TO_K for e, _ in levels])
+    g = np.array([gg for _, gg in levels])
+    w = g * np.exp(-th / T)
+    q = w.sum(-1)
+    m1 = (w * th).sum(-1) / q
+    m2 = (w * th * th).sum(-1) / q
+    return q, m1, m2
+
+
+def _s_trans_r(mass_amu, T):
+    """Sackur-Tetrode S_trans/R at 1 bar (SI, derived not memorized)."""
+    T = np.asarray(T, np.float64)
+    m = mass_amu * _AMU
+    lam3 = (2.0 * np.pi * m * _KB * T / _H**2) ** 1.5
+    return np.log(lam3 * _KB * T / _P0) + 2.5
+
+
+def thermo_funcs(st: SpeciesThermo, T):
+    """-> (S/R, [H(T)-H(298)]/R [K]) ideal-gas RRHO."""
+    T = np.asarray(T, np.float64)
+    q_el, th1, _ = _el_stats(st.levels, T)
+    q0, th1_0, _ = _el_stats(st.levels, np.array([_T0]))
+
+    s_r = _s_trans_r(st.mass, T) + np.log(q_el) + th1 / T
+    dh_r = 2.5 * (T - _T0) + (th1 - th1_0[0])
+
+    if st.omega is not None:
+        # rotation (linear, classical — theta_rot << 298 K for all
+        # species here) + vibration (omega_0 = omega_e - 2 omega_e x_e)
+        th_r = st.B * _CM_TO_K
+        s_r = s_r + np.log(T / (st.sigma * th_r)) + 1.0
+        dh_r = dh_r + (T - _T0)
+        th_v = (st.omega - 2.0 * st.wexe) * _CM_TO_K
+        x = th_v / T
+        x0 = th_v / _T0
+        s_r = s_r + x / np.expm1(x) - np.log(-np.expm1(-x))
+        dh_r = dh_r + th_v / np.expm1(x) - th_v / np.expm1(x0)
+    return s_r, dh_r
+
+
+def g_rt(st: SpeciesThermo, T):
+    """Formation-convention g(T)/RT = H/RT - S/R."""
+    T = np.asarray(T, np.float64)
+    s_r, dh_r = thermo_funcs(st, T)
+    return (st.dhf298 * 1000.0 / _R + dh_r) / T - s_r
+
+
+def entropy_298(st: SpeciesThermo) -> float:
+    """S(298.15) [J/mol/K] — published-value sanity anchor."""
+    s_r, _ = thermo_funcs(st, np.array([_T0]))
+    return float(s_r[0] * _R)
+
+
+def _ion(dhf_neutral, ie_ev):
+    """Cation dHf(298) [kJ/mol] on the JANAF electron convention."""
+    return dhf_neutral + ie_ev * _EV + _ECONV
+
+
+# --------------------------------------------------------------------------
+# Registry.  Sources: masses + ionization energies NIST ASD; electronic
+# levels NIST ASD (lowest multiplets; higher terms are exp(-E/kT)
+# suppressed below ~4000 K); diatomic constants Huber & Herzberg 1979;
+# dHf anchors JANAF (Chase 1998) / CODATA.  TiO/VO dHf carry ~5 kJ/mol
+# literature spread (D0 6.87-6.92 eV for TiO) — noted in tests.
+
+EXTRA_SPECIES: dict[str, SpeciesThermo] = {}
+
+
+def _add(*args, **kw):
+    st = SpeciesThermo(*args, **kw)
+    EXTRA_SPECIES[st.name] = st
+
+
+_add("e-", 5.48579909e-4, ((0.0, 2),), 0.0)
+_add("H+", 1.007276, ((0.0, 1),), _ion(217.998, 13.59844))
+_add("H-", 1.008926, ((0.0, 1),), 217.998 - 0.75420 * _EV - _ECONV)
+_add("Na", 22.98977, ((0.0, 2), (16956.2, 2), (16973.4, 4)), 107.3)
+_add("Na+", 22.98922, ((0.0, 1),), _ion(107.3, 5.13908))
+_add("K", 39.0983, ((0.0, 2), (12985.2, 2), (13042.9, 4)), 89.0)
+_add("K+", 39.09775, ((0.0, 1),), _ion(89.0, 4.34066))
+_add("Li", 6.941, ((0.0, 2), (14903.9, 6)), 159.3)
+_add("Li+", 6.94045, ((0.0, 1),), _ion(159.3, 5.39172))
+_add("Cs", 132.90545, ((0.0, 2), (11178.3, 2), (11732.3, 4)), 76.5)
+_add("Cs+", 132.90490, ((0.0, 1),), _ion(76.5, 3.89390))
+_add("Ti", 47.867, ((0.0, 5), (170.1, 7), (386.9, 9)), 473.0)
+_add("V", 50.9415, ((0.0, 4), (137.4, 6), (323.5, 8), (552.9, 10)),
+     515.5)
+_add("TiO", 63.866, ((0.0, 6), (3446.0, 2), (5661.0, 1), (11872.0, 6),
+                     (14020.0, 6)),
+     54.39, omega=1009.02, wexe=4.50, B=0.53541)
+_add("VO", 66.9409, ((0.0, 4), (9499.0, 8), (12606.0, 8)),
+     149.0, omega=1011.3, wexe=4.86, B=0.5463)
+
+
+def computed_tables(species=None, t_grid=None) -> dict:
+    """(T, g/RT) tables for the computed-thermo species (all of them
+    when ``species`` is None; unknown names raise KeyError)."""
+    if t_grid is None:
+        t_grid = np.linspace(200.0, 6000.0, 400)
+    t_grid = np.asarray(t_grid, np.float64)
+    names = list(EXTRA_SPECIES) if species is None else list(species)
+    out = {}
+    for n in names:
+        if n not in EXTRA_SPECIES:
+            raise KeyError(n)
+        out[n] = (t_grid, g_rt(EXTRA_SPECIES[n], t_grid))
+    return out

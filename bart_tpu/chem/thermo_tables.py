@@ -267,19 +267,34 @@ def g_table_nasa9(intervals, t_grid=None):
 def builtin_tables(species=None, path: str | None = None,
                    t_grid=None) -> dict:
     """(T, g/RT) tables for ``species`` from a NASA-7 file (default:
-    the shipped GRI-Mech 3.0 data).  Raises KeyError listing any
-    species absent from the file — a PARTIAL table set must not be
-    mixed with the analytic free-atom thermochemistry (module doc)."""
+    the shipped GRI-Mech 3.0 data), extended by the computed
+    JANAF-grade tables of chem/thermo_species.py for ions, alkalis,
+    and TiO/VO (same formation convention, so mixing is exact).
+    Raises KeyError listing any species covered by neither — a PARTIAL
+    table set must not be mixed with the analytic free-atom
+    thermochemistry (module doc)."""
+    from bart_tpu.chem.thermo_species import EXTRA_SPECIES, computed_tables
+
     recs = read_nasa7(path or BUILTIN_NASA7)
     if species is None:
-        return {name: g_table_nasa7(rec, t_grid)
-                for name, rec in recs.items()}
-    missing = [s for s in species if s.upper() not in recs]
+        out = {name: g_table_nasa7(rec, t_grid)
+               for name, rec in recs.items()}
+        out.update(computed_tables(t_grid=t_grid))
+        return out
+    missing = [s for s in species
+               if s.upper() not in recs and s not in EXTRA_SPECIES]
     if missing:
         raise KeyError(
-            f"species {missing} not in {path or BUILTIN_NASA7}; extend the "
-            "thermo file or drop `thermofile` to use the analytic "
+            f"species {missing} not in {path or BUILTIN_NASA7} nor in the "
+            "computed-thermo registry (chem/thermo_species.py); extend "
+            "the thermo data or drop `thermofile` to use the analytic "
             "free-atom thermochemistry for ALL species (conventions "
             "must not be mixed)"
         )
-    return {s: g_table_nasa7(recs[s.upper()], t_grid) for s in species}
+    out = {}
+    for s in species:
+        if s.upper() in recs:
+            out[s] = g_table_nasa7(recs[s.upper()], t_grid)
+        else:
+            out[s] = computed_tables([s], t_grid=t_grid)[s]
+    return out

@@ -178,8 +178,10 @@ def test_partial_g_tables_warns(elems):
 def test_builtin_tables_missing_species_raises():
     from bart_tpu.chem.thermo_tables import builtin_tables
 
-    with pytest.raises(KeyError, match="TiO"):
-        builtin_tables(["CO", "TiO"])
+    with pytest.raises(KeyError, match="XeF6"):
+        builtin_tables(["CO", "XeF6"])
+    # TiO/ions are covered since round 3 (computed JANAF-grade tables)
+    assert "TiO" in builtin_tables(["TiO", "Na+", "e-"])
 
 
 def test_janaf_reader(tmp_path):
@@ -235,3 +237,91 @@ def test_nasa9_reader(tmp_path):
         want = (3.5 + 1000.0 / T) - (3.5 * np.log(T) + 2.0)
         got = float(nasa9_gibbs_rt(recs["XGAS"], T))
         assert got == pytest.approx(want, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Computed JANAF-grade tables: ions, alkalis, TiO/VO (chem/thermo_species.py)
+
+
+def test_computed_entropies_match_published():
+    """S(298.15) from the RRHO/Sackur-Tetrode formulas hits the
+    published JANAF values to 0.01 J/mol/K (no entropy is memorized in
+    the code — these are derived from masses/levels only)."""
+    from bart_tpu.chem.thermo_species import EXTRA_SPECIES, entropy_298
+
+    published = {"e-": 20.98, "Na": 153.72, "K": 160.34, "H+": 108.95,
+                 "Na+": 147.96, "K+": 154.58}
+    for name, want in published.items():
+        assert entropy_298(EXTRA_SPECIES[name]) == pytest.approx(
+            want, abs=0.02), name
+
+
+def test_sodium_ionization_matches_saha():
+    """Table-driven ion equilibrium (GRI neutrals + computed ion
+    tables in one solve) reproduces the Saha equation — the published-
+    physics check that the electron-convention bookkeeping
+    (dHf(ion) = dHf(neutral) + IE + 2.5RT0) is consistent."""
+    from bart_tpu.chem.tea import equilibrium_abundances
+    from bart_tpu.chem.thermo_tables import builtin_tables
+    from bart_tpu.io.abundances import read_elements
+
+    elems = read_elements(
+        "/root/reference/inputs/abundances_Asplund2009.txt")
+    species = ["H2", "He", "Na", "Na+", "e-"]
+    tables = builtin_tables(species)
+    T = np.array([1500.0, 3000.0, 3500.0])
+    p = np.array([1.0, 1e-4, 1e-4])
+    q = equilibrium_abundances(species, "H He Na e".split(), p, T, elems,
+                               g_tables=tables)
+    x_na, x_nap, x_e = q[:, 2], q[:, 3], q[:, 4]
+
+    # charge neutrality where ionization dominates the solver's tiny
+    # b_e seed (1e-12 of H; at the 1500 K/1 bar point the seed is ~8%
+    # of the 2e-11 electron fraction)
+    np.testing.assert_allclose(x_e[1:], x_nap[1:], rtol=1e-3)
+
+    # independent Saha prediction: n+ n_e / n0 = (2 pi me k T/h^2)^1.5
+    #   * 2 (g+/g0) exp(-IE/kT)
+    kB, h, me = 1.380649e-23, 6.62607015e-34, 9.1093837015e-31
+    IE = 5.13908 * 1.602176634e-19
+    n_tot = np.asarray(p) * 1e5 / (kB * T)          # m^-3
+    S = (2 * np.pi * me * kB * T / h**2) ** 1.5 * 2 * (1.0 / 2.0) \
+        * np.exp(-IE / (kB * T))
+    ratio_solver = x_nap * x_e * n_tot / np.maximum(x_na, 1e-300)
+    np.testing.assert_allclose(ratio_solver, S, rtol=0.05)
+    # and the effect is big where it should be: mostly neutral at
+    # 1500 K / 1 bar, strongly ionized by 3500 K at 1e-4 bar
+    frac = x_nap / (x_na + x_nap)
+    assert frac[0] < 0.1 < 0.9 < frac[2]
+
+
+def test_tio_vo_equilibrium_lockup():
+    """TiO/VO table-driven equilibrium: Ti is locked in TiO at low T
+    and freed to atomic Ti at high T (the TiO/VO-retrieval regime the
+    line-list layer supports; impossible before round 3 — tables
+    covered the GRI H/C/N/O core only)."""
+    from bart_tpu.chem.tea import equilibrium_abundances
+    from bart_tpu.chem.thermo_tables import builtin_tables
+    from bart_tpu.io.abundances import read_elements
+
+    elems = read_elements(
+        "/root/reference/inputs/abundances_Asplund2009.txt")
+    species = ["H2", "He", "H2O", "CO", "Ti", "TiO", "V", "VO"]
+    tables = builtin_tables(species)
+    T = np.array([1500.0, 2500.0, 3500.0])
+    p = np.array([1.0, 1.0, 1.0])
+    q = equilibrium_abundances(species, "H He C O Ti V".split(), p, T,
+                               elems, g_tables=tables)
+    d = {s: q[:, i] for i, s in enumerate(species)}
+    f_tio = d["TiO"] / (d["Ti"] + d["TiO"])
+    f_vo = d["VO"] / (d["V"] + d["VO"])
+    # locked at 1500 K (VO less so: D0(VO) ~ 6.4 eV < D0(TiO) ~ 6.9 eV)
+    assert f_tio[0] > 0.9 and f_vo[0] > 0.7
+    assert f_tio[2] < f_tio[0] and f_vo[2] < f_vo[0]
+    # neutral-species results in the mixed solve match a GRI-only solve
+    q2 = equilibrium_abundances(["H2", "He", "H2O", "CO"],
+                                "H He C O".split(), p, T, elems,
+                                g_tables=builtin_tables(
+                                    ["H2", "He", "H2O", "CO"]))
+    np.testing.assert_allclose(q[:, 2] / q[:, 0], q2[:, 2] / q2[:, 0],
+                               rtol=1e-2)
