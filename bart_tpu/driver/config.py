@@ -149,6 +149,12 @@ class RetrievalConfig:
     # the reference tabulates Voigt profiles on its wnosamp-fine grid
     # but still point-samples tau/flux at the output spacing.
     rtosamp: int = 1
+    # Fold the rtosamp fine grid into the fused RT kernels (the fine
+    # points live only in VMEM; outputs, band matrix, and Planck run
+    # at the wndelt bins — same unbiased average-after-exp result,
+    # K-times smaller tables of the plain mode avoided): default on.
+    # rtfold=False recovers the plain everything-on-the-fine-grid mode.
+    rtfold: bool = True
     # sigma-bin-averaged cross-sections (arctan-quadrature points per
     # bin); biased for saturated lines — see docs/LINE_SAMPLING.md
     osamp: int = 1
@@ -194,12 +200,25 @@ class RetrievalConfig:
     # --- TEA (makecfg.py:204-255) ---
     maxiter: int = 100
 
+    @property
+    def fold_K(self) -> int:
+        """Sub-samples per output bin handled IN-KERNEL (rtfold mode);
+        1 when rtosamp is off or the plain fine-grid mode is forced."""
+        K = max(int(self.rtosamp), 1)
+        return K if (self.rtfold and K > 1) else 1
+
     def wavenumber_grid(self) -> np.ndarray:
+        """The pipeline's OUTPUT wavenumber grid.  In plain-rtosamp
+        mode (rtfold=False) this is the K-times-refined RT grid; in
+        folded mode the output stays at wndelt spacing and the fine
+        grid (utils.grids.folded_fine_grid) exists only inside the
+        opacity table and the fused kernels."""
         from bart_tpu.utils.grids import wavenumber_grid
 
+        K = max(int(self.rtosamp), 1)
         return wavenumber_grid(
             wnlow=self.wnlow, wnhigh=self.wnhigh,
-            wndelt=self.wndelt / max(int(self.rtosamp), 1),
+            wndelt=self.wndelt if self.fold_K > 1 else self.wndelt / K,
             wllow=self.wllow, wlhigh=self.wlhigh, wlfct=self.wlfct,
             wnfct=self.wnfct,
         )
@@ -210,7 +229,7 @@ _ARRAY_KEYS = {"params", "pmin", "pmax", "stepsize", "PTinit", "uniform",
 _STRLIST_KEYS = {"parnames", "molfit", "filters", "csfile"}
 _BOOL_KEYS = {"log", "COswap", "leastsq", "chisqscale", "grtest", "grexit",
               "plots", "quiet", "ebalance", "shareOpacity", "savefiles",
-              "transparent", "wlike", "mpi"}
+              "transparent", "wlike", "mpi", "rtfold"}
 _INT_KEYS = {"n_layers", "numit", "nchains", "burnin", "thinning",
              "modelper", "maxiter", "seed", "tauiso", "taulevel",
              "modlevel", "verb", "rtosamp", "osamp"}

@@ -97,10 +97,19 @@ class Pipeline:
             return atm
 
         wn = cfg.wavenumber_grid()
+        # folded rtosamp: the opacity table lives on the K-times-finer
+        # midpoint grid; outputs/bands stay on `wn` (rt.fused folded
+        # kernels do the in-VMEM bin averaging)
+        if cfg.fold_K > 1:
+            from bart_tpu.utils.grids import folded_fine_grid
+
+            wn_rt = folded_fine_grid(wn, cfg.fold_K)
+        else:
+            wn_rt = wn
         with stage_timer("linelist", tlog, not quiet):
-            tli = self.stage_linelist(wn)
+            tli = self.stage_linelist(wn_rt)
         with stage_timer("opacity", tlog, not quiet):
-            grid = self.stage_opacity(tli, wn, pressure, atm)
+            grid = self.stage_opacity(tli, wn_rt, pressure, atm)
         if self.just_opacity:
             self.log("--justOpacity: stopping after opacity table.")
             return grid
@@ -416,7 +425,11 @@ class Pipeline:
             broadening=BroadeningSpec.from_abundances(
                 atm.species, atm.abundances),
             nwidth=cfg.nwidth,
+            fold_osamp=cfg.fold_K,
         )
+        if cfg.fold_K > 1:
+            self.log(f"folded rtosamp: {cfg.fold_K} sub-samples per "
+                     f"{cfg.wndelt} cm-1 bin, in-kernel averaging")
         self.store = dict(system=system, starfl=starfl, filters=filters)
         return fm
 

@@ -57,6 +57,10 @@ def table_shardings(mesh: Mesh) -> dict:
         "wn": spec("wn"),
         "sigma": spec(None, None, None, "wn"),   # [mol, nT, layer, wn]
         "frows": spec(None, None, "wn"),         # [rows, layer, wn]
+        # folded-rtosamp layouts (rt.fused): trailing axis is the
+        # OUTPUT wn bin, so the same wn sharding applies
+        "sigmak": spec(None, None, None, "wn"),  # [K, rows, layer, wn]
+        "frowsk": spec(None, None, None, "wn"),
         "band_w": spec(None, "wn"),              # [nfilt, wn]
         "pressure": rep,
         "p_barye": rep,
@@ -145,6 +149,11 @@ def pad_tables_for_mesh(tables: dict, mesh: Mesh) -> dict:
             out["frows"] = jnp.pad(
                 tables["frows"], ((0, 0),) * 2 + ((0, pad),)
             )
+        for k in ("sigmak", "frowsk"):
+            if k in tables:
+                out[k] = jnp.pad(
+                    tables[k], ((0, 0),) * 3 + ((0, pad),)
+                )
 
     if pad:
         out["wn"] = jnp.concatenate(

@@ -117,6 +117,7 @@ class ForwardModel:
         broadening=None,
         nwidth: float = 20.0,
         osamp: int = 1,
+        fold_osamp: int = 1,
         dtype=jnp.float32,
     ):
         self.config = config
@@ -126,6 +127,11 @@ class ForwardModel:
         # on-the-fly bin-averaging factor (the wnosamp question;
         # docs/LINE_SAMPLING.md) and bin width for it
         self.osamp = int(osamp)
+        # folded rtosamp (rt.fused folded kernels): ``wn_grid`` is the
+        # OUTPUT grid; ``opacity`` is tabulated on the K-times-finer
+        # folded_fine_grid and streamed sub-sample-major through the
+        # kernels, which emit bin-averaged (after exp) output spectra.
+        self.fold = int(fold_osamp)
         self.wndelt = float(wn_grid[1] - wn_grid[0]) if len(wn_grid) > 1 else 1.0
         cfg = config
 
@@ -164,6 +170,11 @@ class ForwardModel:
         # --- opacity: precomputed grid OR on-the-fly line tiles ---
         # (the reference equally supports gridded and direct extinction;
         # SURVEY.md 2.2 "on-the-fly" mode, manual tex:776-778)
+        if self.fold > 1 and isinstance(opacity, dict):
+            raise ValueError(
+                "folded rtosamp requires a precomputed opacity grid "
+                "(the on-the-fly mode evaluates lines at arbitrary "
+                "resolution already — use osamp there)")
         if isinstance(opacity, dict):
             # On-the-fly (table-free) mode: the line-tile arrays live in
             # the `tables` pytree so parallel.shard_model can shard the
@@ -195,7 +206,27 @@ class ForwardModel:
             self.t_min = float(opacity.t_grid[0])
             self.t_step = float(opacity.t_grid[1] - opacity.t_grid[0])
             self.n_t = len(opacity.t_grid)
-            t["sigma"] = opacity.sigma.astype(dtype)
+            if self.fold > 1:
+                from bart_tpu.rt.fused import fold_table
+
+                M, nT, nL_, Wf = opacity.sigma.shape
+                Wout = len(wn_grid)
+                if Wf != self.fold * Wout:
+                    raise ValueError(
+                        f"folded rtosamp={self.fold}: opacity grid has "
+                        f"{Wf} wn samples but the output grid needs "
+                        f"{self.fold} x {Wout}")
+                sig = jnp.asarray(opacity.sigma, dtype)
+                # sub-sample-major hot-loop layout [K, M*nT, L, Wout]
+                t["sigmak"] = fold_table(
+                    sig.reshape(M * nT, nL_, Wf), self.fold)
+                # bin-averaged coarse table for the unfused/diagnostics
+                # path (plots, contribution functions — NOT the chi^2
+                # path, which runs the folded kernels)
+                t["sigma"] = jnp.mean(
+                    sig.reshape(M, nT, nL_, Wout, self.fold), axis=-1)
+            else:
+                t["sigma"] = opacity.sigma.astype(dtype)
             opac_species = opacity.species
         self.i_opac = np.array(
             [int(np.where(sp == m)[0][0]) for m in opac_species], int
@@ -237,13 +268,22 @@ class ForwardModel:
         self._fusable = self.opacity is not None
         if self._fusable:
             rows = []
-            nL, nW = len(pressure), len(wn_grid)
+            # folded mode: continuum rows are evaluated on the fine
+            # grid too (a smooth row costs nothing extra there, and
+            # it keeps the kernel contraction uniform)
+            if self.fold > 1:
+                from bart_tpu.utils.grids import folded_fine_grid
+
+                wn_rows = folded_fine_grid(np.asarray(wn_grid), self.fold)
+            else:
+                wn_rows = np.asarray(wn_grid)
+            nL, nW = len(pressure), len(wn_rows)
             self._cia_ntemps = []
             for tab in cia_tables:
                 # hoist the wn interpolation of cia_extinction to setup
                 # (the wn grid is static; T-weights stay runtime)
                 wn_interp = np.stack([
-                    np.interp(np.asarray(wn_grid, np.float64),
+                    np.interp(np.asarray(wn_rows, np.float64),
                               np.asarray(tab.wn, np.float64),
                               np.asarray(row, np.float64),
                               left=0.0, right=0.0)
@@ -258,7 +298,7 @@ class ForwardModel:
                 )
 
                 sig_ray = np.asarray(
-                    h2_rayleigh_cross_section(np.asarray(wn_grid))
+                    h2_rayleigh_cross_section(np.asarray(wn_rows))
                 )
                 rows.append(np.broadcast_to(
                     sig_ray[None, None, :], (1, nL, nW)))
@@ -267,8 +307,13 @@ class ForwardModel:
             if cfg.cloudrad is not None and cfg.cloudext:
                 rows.append(np.ones((1, nL, nW)))
             if rows:
-                t["frows"] = jnp.asarray(
-                    np.concatenate(rows, axis=0), dtype)
+                frows = jnp.asarray(np.concatenate(rows, axis=0), dtype)
+                if self.fold > 1:
+                    from bart_tpu.rt.fused import fold_table
+
+                    t["frowsk"] = fold_table(frows, self.fold)
+                else:
+                    t["frows"] = frows
 
         self._jitted = None
 
@@ -357,11 +402,16 @@ class ForwardModel:
             tab, wrows = self._fused_rows(params, t, T_safe, q, rad_cm)
             dr = rad_cm[:-1] - rad_cm[1:]
             drp = jnp.concatenate([jnp.zeros_like(dr[:1]), dr])
-            from bart_tpu.rt.fused import fused_eclipse
+            from bart_tpu.rt.fused import fused_eclipse, fused_eclipse_folded
 
-            spectrum = fused_eclipse(
-                tab, wn, t["mu"], t["mu_w"], wrows, T_safe, drp,
-            )
+            if self.fold > 1:
+                spectrum = fused_eclipse_folded(
+                    tab, wn, t["mu"], t["mu_w"], wrows, T_safe, drp,
+                )
+            else:
+                spectrum = fused_eclipse(
+                    tab, wn, t["mu"], t["mu_w"], wrows, T_safe, drp,
+                )
         elif cfg.solution in ("eclipse", "direct"):
             ext = self._extinction(params, t, T_safe, q, rad_cm)
             tau = tau_vertical(ext, rad_cm)
@@ -369,9 +419,12 @@ class ForwardModel:
         elif cfg.solution == "transit" and self._fusable:
             tab, wrows = self._fused_rows(params, t, T_safe, q, rad_cm)
             G, wgt = slant_geometry(rad_cm)
-            from bart_tpu.rt.fused import fused_transit
+            from bart_tpu.rt.fused import fused_transit, fused_transit_folded
 
-            absorbed = fused_transit(tab, wrows, G, wgt)
+            if self.fold > 1:
+                absorbed = fused_transit_folded(tab, wrows, G, wgt)
+            else:
+                absorbed = fused_transit(tab, wrows, G, wgt)
             spectrum = (rad_cm[-1] ** 2 + absorbed) / (
                 self.system.r_star * 100.0
             ) ** 2
@@ -487,9 +540,14 @@ class ForwardModel:
             )
             cols.append(prof[:, None])
 
-        tab = sigma.reshape(M * nT, L, W)
-        if "frows" in t:
-            tab = jnp.concatenate([tab, t["frows"]], axis=0)
+        if self.fold > 1:
+            tab = t["sigmak"]                       # [K, M*nT, L, Wout]
+            if "frowsk" in t:
+                tab = jnp.concatenate([tab, t["frowsk"]], axis=1)
+        else:
+            tab = sigma.reshape(M * nT, L, W)
+            if "frows" in t:
+                tab = jnp.concatenate([tab, t["frows"]], axis=0)
         return tab, jnp.concatenate(cols, axis=1)
 
     def _extinction(self, params, t, T_safe, q, rad_cm):

@@ -62,7 +62,10 @@ from jax.experimental.pallas import tpu as pltpu
 from bart_tpu import constants as const
 from bart_tpu.rt.tau import TAU_CLAMP
 
-__all__ = ["fused_eclipse", "fused_transit", "interp_weights"]
+__all__ = [
+    "fused_eclipse", "fused_transit", "fused_eclipse_folded",
+    "fused_transit_folded", "interp_weights", "fold_table",
+]
 
 _C1 = 2.0 * const.H_PLANCK * const.C_LIGHT**2   # 2 h c^2
 _VMEM_BUDGET = 20 * 2**20
@@ -367,6 +370,372 @@ def _ft_vmap(axis_size, in_batched, tab, wrows, G, wgt):
         out = jax.vmap(
             _tsingle, in_axes=(None, 0, 0, 0)
         )(tab, wrows, G, wgt)
+    return out, True
+
+
+# ---------------------------------------------------------------------
+# Folded-rtosamp kernels: publication-accuracy band fluxes WITHOUT the
+# plain-rtosamp mode's K-times-larger outputs and band matrix.
+#
+# The unbiased high-fidelity scheme (docs/LINE_SAMPLING.md) evaluates
+# extinction -> tau -> exp(-tau) on a K-times-finer midpoint grid
+# inside each output bin and averages the SPECTRUM (after the exp
+# nonlinearity) back to the output bins.  Plain `rtosamp` does this by
+# running the whole pipeline on the fine grid — K x the outputs, the
+# band matrix, and (for eclipse) K x the Planck exponentials.  The
+# folded kernels keep the fine grid entirely inside VMEM:
+#
+#   * the fine table is laid out sub-sample-major, [K, L, R, Wout]
+#     (``fold_table``), and the Pallas grid gains an inner K axis, so
+#     each program handles one sub-sample of one (wn tile, chain
+#     block) and the table streams from HBM exactly once per chain
+#     block;
+#   * a VMEM scratch accumulates the bin-averaged source function
+#     Sbar[l] = avg_k S_l (eclipse) or absorption avg_k (1 - e^-tau)
+#     (transit) across the K grid steps;
+#   * on the last sub-sample the Planck-weighted layer sum (eclipse)
+#     or annulus quadrature (transit) runs ONCE on the output bins.
+#
+# Planck is evaluated at the bin-center wavenumber: B varies by
+# ~0.7 x (wndelt/wn) ~ 2e-4 across a 1 cm-1 bin and enters averaged
+# against the mean-zero in-bin variation of S, a second-order ~1e-7
+# band-flux effect (pinned in tests/test_fused.py) — in exchange the
+# Planck exponential count drops K-fold, and the eclipse flux
+#   F = sum_l 0.5 (B_{l-1} + B_l)(Sbar_{l-1} - Sbar_l) + B_bot Sbar_bot
+# with bin-center B is EXACTLY avg_k of the per-fine-point flux.
+
+
+def fold_table(tab_fine, K):
+    """[R, L, Wout*K] bin-major fine table -> [K, R, L, Wout]
+    sub-sample-major layout for the folded kernels (fine index
+    f = b*K + k on the utils.grids.folded_fine_grid midpoint grid)."""
+    R, L, WK = tab_fine.shape
+    W = WK // K
+    return jnp.transpose(tab_fine.reshape(R, L, W, K), (3, 0, 1, 2))
+
+
+def _single_folded(tabk, wn_out, mu, muw, wrows, T, drp):
+    """Reference jnp path, one sample.  tabk [K, R, L, Wout]."""
+    K = tabk.shape[0]
+    ext = jnp.einsum("lr,krlw->klw", wrows, tabk,
+                     precision=jax.lax.Precision.HIGHEST)
+    seg = 0.5 * (ext[:, :-1] + ext[:, 1:]) * drp[None, 1:, None]
+    Lm1 = seg.shape[1]
+    tri = jnp.tril(jnp.ones((Lm1, Lm1), seg.dtype))
+    tau = jnp.einsum("ij,kjw->kiw", tri, seg,
+                     precision=jax.lax.Precision.HIGHEST)
+    tau = jnp.concatenate([jnp.zeros_like(tau[:, :1]), tau], axis=1)
+    tau_c = jnp.minimum(tau, TAU_CLAMP)
+    S = jnp.zeros_like(tau_c)
+    for k in range(mu.shape[0]):
+        S = S + (muw[k] * mu[k]) * jnp.exp(-tau_c / mu[k])
+    sbar = jnp.mean(S, axis=0)                                 # [L, Wout]
+    wn3 = _C1 * wn_out**3
+    B = wn3[None, :] / (jnp.exp(const.C2 * wn_out[None, :] / T[:, None])
+                        - 1.0)                                 # [L, Wout]
+    Bmid = 0.5 * (B[:-1] + B[1:])
+    flux = jnp.sum(Bmid * (sbar[:-1] - sbar[1:]), axis=0)
+    return 2.0 * jnp.pi * (flux + B[-1] * sbar[-1])
+
+
+def _fkernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
+             out_ref, sbar_scr, *, L, nmu, K):
+    """One (wn tile, chain block, sub-sample) program.
+
+    Grid is (wn tiles, chain blocks, K) with the sub-sample axis
+    INNERMOST: the wrows/aux blocks are fetched once per chain block
+    (their index maps ignore k) while the [K, L, R, Wout] table
+    streams its k-slice each step.  ``sbar_scr`` [L, CB, W] persists
+    across grid steps, accumulating avg_k S_l; the Planck pass runs
+    once at k == K-1.
+    """
+    k = pl.program_id(2)
+    invK = 1.0 / K
+    wn_row = wn_ref[0, :]                                     # [W]
+    wn3 = (_C1 * wn_row * wn_row * wn_row)[None, :]
+    c2wn = (const.C2 * wn_row)[None, :]
+
+    def planck(T_col):
+        return wn3 / (jnp.exp(c2wn / T_col) - 1.0)
+
+    def smix(tau):
+        tau_c = jnp.minimum(tau, TAU_CLAMP)
+        acc = jnp.zeros_like(tau)
+        for q in range(nmu):
+            acc = acc + wmu_ref[0, q] * jnp.exp(-tau_c * minv_ref[0, q])
+        return acc
+
+    def ext_at(layer):
+        return jax.lax.dot_general(
+            wnm_ref[layer], tab_ref[0, layer],
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    ext0 = ext_at(0)
+    # tau = 0 at the top layer: S there is the constant quadrature sum
+    s_top = jnp.zeros_like(ext0) + jnp.sum(wmu_ref[0, :])
+
+    @pl.when(k == 0)
+    def _():
+        sbar_scr[0] = s_top
+
+    def body(layer, carry):
+        ext_p, tau_p = carry
+        aux_l = aux_ref[layer]
+        ext_l = ext_at(layer)
+        tau_l = tau_p + 0.5 * (ext_p + ext_l) * aux_l[:, 1:2]
+        s_l = smix(tau_l) * invK
+
+        @pl.when(k == 0)
+        def _():
+            sbar_scr[layer] = s_l
+
+        @pl.when(k > 0)
+        def _():
+            sbar_scr[layer] += s_l
+
+        return ext_l, tau_l
+
+    jax.lax.fori_loop(1, L, body, (ext0, jnp.zeros_like(ext0)))
+
+    @pl.when(k == K - 1)
+    def _():
+        B0 = planck(aux_ref[0][:, 0:1])
+        flux0 = jnp.zeros_like(B0 * s_top)
+
+        def body2(layer, carry):
+            B_p, sb_p, flux = carry
+            B_l = planck(aux_ref[layer][:, 0:1])
+            sb_l = sbar_scr[layer]
+            flux = flux + 0.5 * (B_p + B_l) * (sb_p - sb_l)
+            return B_l, sb_l, flux
+
+        B_b, sb_b, flux = jax.lax.fori_loop(
+            1, L, body2, (B0, sbar_scr[0], flux0)
+        )
+        out_ref[:, :] = 2.0 * jnp.pi * (flux + B_b * sb_b)
+
+
+def _fpallas_batch(tabk, wn_out, mu, muw, wrows, T, drp):
+    """Folded batched dispatch: tabk [K, R, L, Wout], wrows [C, L, R]."""
+    f32 = jnp.float32
+    K, R, L, W = tabk.shape
+    C = T.shape[0]
+    nmu = int(mu.shape[0])
+
+    tile, cb = _pick_blocks(L, R, max(C, 8), max(W, 128))
+    # the sbar scratch [L, cb, tile] joins the VMEM bill
+    r32 = -(-R // 32) * 32
+    while cb > 8 and (
+        2 * L * cb * r32 * 4 + L * cb * tile * 4 + 8 * cb * tile * 4
+        > _VMEM_BUDGET
+    ):
+        cb //= 2
+    w_pad = -(-W // tile) * tile
+    c_pad = -(-C // cb) * cb
+    tab_t = jnp.pad(jnp.transpose(tabk.astype(f32), (0, 2, 1, 3)),
+                    ((0, 0), (0, 0), (0, 0), (0, w_pad - W)))  # [K, L, R, Wp]
+    wn_p = jnp.pad(wn_out.astype(f32), (0, w_pad - W), constant_values=1.0)
+    wnm_t = jnp.pad(jnp.transpose(wrows.astype(f32), (1, 0, 2)),
+                    ((0, 0), (0, c_pad - C), (0, 0)))          # [L, Cp, R]
+    aux = jnp.stack([T.astype(f32), drp.astype(f32)], axis=-1)
+    aux_t = jnp.pad(jnp.transpose(aux, (1, 0, 2)),
+                    ((0, 0), (0, c_pad - C), (0, 0)),
+                    constant_values=1000.0)                    # [L, Cp, 2]
+
+    grid = (w_pad // tile, c_pad // cb, K)
+    out = pl.pallas_call(
+        functools.partial(_fkernel, L=L, nmu=nmu, K=K),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, L, R, tile), lambda i, j, k: (k, 0, 0, i)),
+            pl.BlockSpec((L, cb, R), lambda i, j, k: (0, j, 0)),
+            pl.BlockSpec((L, cb, 2), lambda i, j, k: (0, j, 0)),
+            pl.BlockSpec((1, tile), lambda i, j, k: (0, i)),
+            pl.BlockSpec((1, nmu), lambda i, j, k: (0, 0)),
+            pl.BlockSpec((1, nmu), lambda i, j, k: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((cb, tile), lambda i, j, k: (j, i)),
+        out_shape=jax.ShapeDtypeStruct((c_pad, w_pad), f32),
+        scratch_shapes=[pltpu.VMEM((L, cb, tile), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=INTERPRET,
+    )(
+        tab_t, wnm_t, aux_t, wn_p[None, :],
+        (1.0 / mu.astype(f32))[None, :],
+        (muw.astype(f32) * mu.astype(f32))[None, :],
+    )
+    return out[:C, :W]
+
+
+@jax.custom_batching.custom_vmap
+def fused_eclipse_folded(tabk, wn_out, mu, muw, wrows, T, drp):
+    """Eclipse flux F[wn_out] with in-kernel rtosamp folding, one
+    sample.  tabk [K, R, L, Wout] sub-sample-major fine table
+    (``fold_table``); wn_out the OUTPUT bin centers; other arguments
+    as fused_eclipse.  Under ``vmap`` the batch runs as one Pallas
+    kernel with an inner sub-sample grid axis on TPU.
+    """
+    return _single_folded(tabk, wn_out, mu, muw, wrows, T, drp)
+
+
+@fused_eclipse_folded.def_vmap
+def _fef_vmap(axis_size, in_batched, tabk, wn_out, mu, muw, wrows, T, drp):
+    wb, tb, db = in_batched[4], in_batched[5], in_batched[6]
+    if any(in_batched[:4]) or not (wb and tb and db):
+        axes = tuple(0 if b else None for b in in_batched)
+        return jax.vmap(_single_folded, in_axes=axes)(
+            tabk, wn_out, mu, muw, wrows, T, drp), True
+
+    use_pallas = FORCE_PALLAS
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        out = _fpallas_batch(tabk, wn_out, mu, muw, wrows, T, drp)
+        out = out.astype(T.dtype)
+    else:
+        out = jax.vmap(
+            _single_folded, in_axes=(None,) * 4 + (0, 0, 0)
+        )(tabk, wn_out, mu, muw, wrows, T, drp)
+    return out, True
+
+
+def _tsingle_folded(tabk, wrows, G, wgt):
+    """Reference jnp path, one sample: folded transit."""
+    ext = jnp.einsum("lr,krlw->klw", wrows, tabk,
+                     precision=jax.lax.Precision.HIGHEST)
+    tau = jnp.einsum("bl,klw->kbw", G, ext,
+                     precision=jax.lax.Precision.HIGHEST)
+    absorb = 1.0 - jnp.exp(-jnp.minimum(tau, TAU_CLAMP))
+    abar = jnp.mean(absorb, axis=0)                            # [L, Wout]
+    return jnp.einsum("l,lw->w", wgt, abar,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _ftkernel(tab_ref, wnm_ref, g_ref, wgt_ref, out_ref, ext_scr,
+              abar_scr, *, L, CB, K):
+    """Folded transit program: layer-streamed extinction for sub-sample
+    k into scratch, per-chain slant matmuls, absorption accumulated
+    into ``abar_scr`` across the K grid steps, annulus quadrature at
+    k == K-1."""
+    k = pl.program_id(2)
+    invK = 1.0 / K
+
+    def fill(layer, _):
+        ext_scr[layer] = jax.lax.dot_general(
+            wnm_ref[layer], tab_ref[0, layer],
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, L, fill, 0)
+
+    for c in range(CB):
+        tau = jax.lax.dot_general(
+            g_ref[c], ext_scr[:, c, :],
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        a = (1.0 - jnp.exp(-jnp.minimum(tau, TAU_CLAMP))) * invK
+
+        @pl.when(k == 0)
+        def _():
+            abar_scr[:, c, :] = a
+
+        @pl.when(k > 0)
+        def _():
+            abar_scr[:, c, :] += a
+
+    @pl.when(k == K - 1)
+    def _():
+        for c in range(CB):
+            out_ref[c, :] = jax.lax.dot_general(
+                wgt_ref[c : c + 1, :], abar_scr[:, c, :],
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )[0]
+
+
+def _ftpallas_batch(tabk, wrows, G, wgt):
+    """Folded transit dispatch: tabk [K, R, L, Wout]."""
+    f32 = jnp.float32
+    K, R, L, W = tabk.shape
+    C = wgt.shape[0]
+
+    tile, cb = _pick_blocks(L, R, max(C, 8), max(W, 128))
+    r32 = -(-R // 32) * 32
+    cb = min(cb, 64)
+    while cb > 8 and (
+        2 * L * r32 * tile * 4
+        + 2 * cb * (L * r32 + L * L) * 4
+        + 2 * L * cb * tile * 4          # ext + abar scratches
+        > 2 * _VMEM_BUDGET
+    ):
+        cb //= 2
+    w_pad = -(-W // tile) * tile
+    c_pad = -(-C // cb) * cb
+    tab_t = jnp.pad(jnp.transpose(tabk.astype(f32), (0, 2, 1, 3)),
+                    ((0, 0), (0, 0), (0, 0), (0, w_pad - W)))  # [K, L, R, Wp]
+    wnm_t = jnp.pad(jnp.transpose(wrows.astype(f32), (1, 0, 2)),
+                    ((0, 0), (0, c_pad - C), (0, 0)))
+    g_p = jnp.pad(G.astype(f32), ((0, c_pad - C), (0, 0), (0, 0)))
+    wgt_p = jnp.pad(wgt.astype(f32), ((0, c_pad - C), (0, 0)))
+
+    grid = (w_pad // tile, c_pad // cb, K)
+    out = pl.pallas_call(
+        functools.partial(_ftkernel, L=L, CB=cb, K=K),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, L, R, tile), lambda i, j, k: (k, 0, 0, i)),
+            pl.BlockSpec((L, cb, R), lambda i, j, k: (0, j, 0)),
+            pl.BlockSpec((cb, L, L), lambda i, j, k: (j, 0, 0)),
+            pl.BlockSpec((cb, L), lambda i, j, k: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((cb, tile), lambda i, j, k: (j, i)),
+        out_shape=jax.ShapeDtypeStruct((c_pad, w_pad), f32),
+        scratch_shapes=[pltpu.VMEM((L, cb, tile), f32),
+                        pltpu.VMEM((L, cb, tile), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=INTERPRET,
+    )(tab_t, wnm_t, g_p, wgt_p)
+    return out[:C, :W]
+
+
+@jax.custom_batching.custom_vmap
+def fused_transit_folded(tabk, wrows, G, wgt):
+    """Annulus-integrated absorption out[wn_out] with in-kernel rtosamp
+    folding, one sample.  tabk [K, R, L, Wout] (``fold_table``); other
+    arguments as fused_transit."""
+    return _tsingle_folded(tabk, wrows, G, wgt)
+
+
+@fused_transit_folded.def_vmap
+def _ftf_vmap(axis_size, in_batched, tabk, wrows, G, wgt):
+    wb, gb, cbb = in_batched[1], in_batched[2], in_batched[3]
+    if in_batched[0] or not (wb and gb and cbb):
+        axes = tuple(0 if b else None for b in in_batched)
+        return jax.vmap(_tsingle_folded, in_axes=axes)(
+            tabk, wrows, G, wgt), True
+
+    use_pallas = FORCE_PALLAS
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        out = _ftpallas_batch(tabk, wrows, G, wgt).astype(wgt.dtype)
+    else:
+        out = jax.vmap(
+            _tsingle_folded, in_axes=(None, 0, 0, 0)
+        )(tabk, wrows, G, wgt)
     return out, True
 
 

@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""WASP-12b-class regression retrieval.
+
+The reference names its WASP-12b example as *the* regression test
+(reference: doc/BART_user_manual/BART_user_manual.tex:354-359;
+examples/WASP-12b/BART.cfg).  This script is bart_tpu's committed
+equivalent: a 4-molecule (H2O/CO2/CO/CH4) eclipse retrieval over the
+4 Spitzer IRAC channels against synthetic depths generated from a
+known truth, asserting convergence AND truth recovery, and writing the
+timing numbers that back docs/PERFORMANCE.md's "WASP-12b-class MCMC"
+row.
+
+Modes:
+
+  python examples/run_wasp12b.py            # full: numit=1e5, 50 chains,
+                                            # pinned cfg data (numeric
+                                            # regression; run on TPU)
+  python examples/run_wasp12b.py --short    # CI-sized: reduced grids +
+                                            # numit, data regenerated
+                                            # from the truth at the
+                                            # reduced resolution
+                                            # (structural regression;
+                                            # runs on CPU in ~2 min)
+
+Both modes write ``wasp12b_timing.json`` into the output directory and
+exit non-zero if any assertion fails.
+
+The --short mode regenerates the synthetic observations from the truth
+parameters at its own (coarsened) resolution, because the committed
+depths in wasp12b_eclipse.cfg encode the full 100-layer/1-cm^-1 grid:
+at reduced resolution the model at truth shifts by more than the 2.5%
+error bars, which would test discretization, not the sampler.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CFG = os.path.join(REPO, "examples", "wasp12b_eclipse.cfg")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--short", action="store_true",
+                    help="CI-sized run (reduced grids + iterations)")
+    ap.add_argument("--outdir", default=None)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    # inputs (synthetic 4-molecule TLI + CIA) are generated, not shipped
+    if not os.path.isfile(
+        os.path.join(REPO, "examples", "demo_inputs", "wasp12b_4mol.tli.npz")
+    ):
+        sys.path.insert(0, os.path.join(REPO, "examples"))
+        import make_demo_inputs
+
+        make_demo_inputs.main(os.path.join(REPO, "examples", "demo_inputs"))
+
+    from bart_tpu.driver.config import load_config, load_data_array
+    from bart_tpu.driver.pipeline import Pipeline
+
+    outdir = args.outdir or os.path.join(
+        REPO, "examples", "wasp12b_out" + ("_short" if args.short else "")
+    )
+    overrides = {"loc_dir": outdir}
+    if args.short:
+        overrides.update({
+            "numit": "60000", "nchains": "16", "burnin": "2000",
+            "n_layers": "40", "wndelt": "4.0", "tempdelt": "400",
+            "nwidth": "20", "grexit": "False", "plots": "False",
+            "opacityfile": "opacity_4mol_short.npz",
+        })
+    else:
+        overrides.update({"nchains": "50"})
+    cfg = load_config(CFG, overrides)
+
+    p = Pipeline(cfg)
+    t_setup = time.time()
+    pressure = p.stage_pressure()
+    elems = p.stage_abundances()
+    atm = p.stage_atmosphere(pressure, elems)
+    wn = cfg.wavenumber_grid()
+    tli = p.stage_linelist(wn)
+    grid = p.stage_opacity(tli, wn, pressure, atm)
+    fm, like, space = p.stage_forward(atm, wn, grid)
+    setup_s = time.time() - t_setup
+
+    import jax.numpy as jnp
+
+    truth_full = np.asarray(cfg.params, np.float64)
+    truth_free = truth_full[space.ifree]
+    names = [space.pnames[i] for i in space.ifree]
+
+    bf, _, ok = fm.jitted()(jnp.asarray(truth_full, fm.dtype))
+    bf = np.asarray(bf)
+    assert bool(ok), "truth parameters rejected by the forward model"
+
+    data = load_data_array(cfg.data)
+    uncert = load_data_array(cfg.uncert)
+    if args.short:
+        # regenerate observations from truth at this resolution
+        data = bf.copy()
+        uncert = 0.025 * data
+        from bart_tpu.inference.likelihood import Likelihood
+
+        like = Likelihood(fm, space, data, uncert, wlike=cfg.wlike)
+        pull_truth = 0.0
+    else:
+        # numeric regression: the committed depths ARE the model at
+        # truth on the committed grid (uncert = 2.5% of depth)
+        pull_truth = float(np.max(np.abs(bf - data) / uncert))
+        print(f"model(truth) vs committed depths: max pull "
+              f"{pull_truth:.3f} sigma")
+        assert pull_truth < 0.5, (
+            f"committed WASP-12b depths no longer reproduce the truth "
+            f"model (max pull {pull_truth:.2f} sigma) — the forward "
+            f"model changed numerically")
+
+    t0 = time.time()
+    result = p.stage_mcmc(like, space)
+    mcmc_s = time.time() - t0
+
+    post = result.posterior                     # [nchain, nfree, niter]
+    mean = post.mean(axis=(0, 2))
+    std = post.std(axis=(0, 2))
+    pulls = (mean - truth_free) / np.maximum(std, 1e-12)
+    psrf_max = float(np.nanmax(result.psrf))
+
+    print(f"\n{'param':>8} {'truth':>8} {'mean':>9} {'std':>8} {'pull':>6}")
+    for n, t, m, s, z in zip(names, truth_free, mean, std, pulls):
+        print(f"{n:>8} {t:8.3f} {m:9.3f} {s:8.3f} {z:6.2f}")
+    print(f"psrf max {psrf_max:.4f}  accept {result.accept_rate:.2f}  "
+          f"MCMC {mcmc_s:.1f} s "
+          f"({result.niter_total / mcmc_s:.0f} samples/s)")
+
+    # chi^2 of the single best sample: the sampler must FIND the
+    # truth-model region (data are noise-free model-at-truth, so the
+    # best chi^2 is ~0 when it does, ~>1/datum when it doesn't)
+    chi2_best = float(-2.0 * result.best_loglike)
+
+    # --- assertions -------------------------------------------------
+    # Short mode: this 4-datum posterior has directions that are
+    # prior-plateau (abundances below detectability are all equally
+    # likely), where the Gelman-Rubin statistic converges only slowly
+    # — at CI chain lengths psrf ~1.5-2 is its measured plateau, so
+    # the sharp short-mode checks are best-fit chi^2 and truth pulls.
+    gr_bound = 2.5 if args.short else 1.1
+    pull_bound = 3.5
+    failures = []
+    if not (psrf_max < gr_bound):
+        failures.append(f"Gelman-Rubin {psrf_max:.3f} >= {gr_bound}")
+    if not (chi2_best < len(data)):
+        failures.append(
+            f"best chi2 {chi2_best:.2f} >= ndata={len(data)} — sampler "
+            f"never found the truth-model region")
+    bad = np.abs(pulls) > pull_bound
+    if bad.any():
+        failures.append(
+            "truth outside {}-sigma for: {}".format(
+                pull_bound,
+                ", ".join(f"{n} ({z:+.1f})"
+                          for n, z, b in zip(names, pulls, bad) if b),
+            ))
+    if not (result.accept_rate > 0.02):
+        failures.append(f"accept rate {result.accept_rate:.3f} <= 0.02")
+
+    timing = {
+        "mode": "short" if args.short else "full",
+        "backend": __import__("jax").default_backend(),
+        "setup_s": round(setup_s, 2),
+        "mcmc_s": round(mcmc_s, 2),
+        "samples_per_s": round(result.niter_total / mcmc_s, 1),
+        "numit": int(cfg.numit), "nchains": int(cfg.nchains),
+        "psrf_max": round(psrf_max, 4),
+        "chi2_best": round(chi2_best, 4),
+        "accept_rate": round(float(result.accept_rate), 4),
+        "max_abs_pull": round(float(np.max(np.abs(pulls))), 3),
+        "truth_model_max_pull_sigma": round(pull_truth, 4),
+        "passed": not failures,
+    }
+    tpath = os.path.join(outdir, "wasp12b_timing.json")
+    with open(tpath, "w") as f:
+        json.dump(timing, f, indent=1)
+    print(f"timing written to {tpath}")
+
+    if failures:
+        print("REGRESSION FAILURES:\n  " + "\n  ".join(failures))
+        return 1
+    print("WASP-12b regression PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

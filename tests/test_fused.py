@@ -252,6 +252,192 @@ def test_transit_pallas_interpret_matches_unfused(tproblem):
                                rtol=2e-4)
 
 
+# ---------------------------------------------------------------------
+# Folded-rtosamp kernels (fused_eclipse_folded / fused_transit_folded):
+# the fine grid lives only inside the kernel; outputs are per-bin means
+# of the fine spectrum (average AFTER exp — docs/LINE_SAMPLING.md).
+
+
+@pytest.fixture
+def fproblem(problem):
+    """Folded version of the eclipse fixture: K=4 sub-samples whose
+    k-slices are perturbed copies of the base table (so in-bin
+    structure exists), plus the matching fine-layout table."""
+    tab, wn, mu, muw, wrows, T, drp = problem[:7]
+    K = 4
+    rng = np.random.default_rng(5)
+    R, L, W = tab.shape
+    fine = jnp.asarray(
+        np.asarray(tab)[:, :, :, None]
+        * rng.lognormal(0.0, 0.5, (R, L, W, K))
+    ).reshape(R, L, W * K)
+    tabk = fused.fold_table(fine, K)
+    return tabk, fine, wn, mu, muw, wrows, T, drp, K
+
+
+def _fine_then_average(fine, wn, mu, muw, wrows, T, drp, K):
+    """Truth: the plain fused path on every fine point (with fine-wn
+    Planck), spectrum averaged per bin."""
+    W = wn.shape[0]
+    d = wn[1] - wn[0]
+    off = d * ((jnp.arange(K) + 0.5) / K - 0.5)
+    wn_fine = (wn[:, None] + off[None, :]).reshape(-1)
+
+    def one(w_c, T_c, d_c):
+        s = fused._single(fine, wn_fine, mu, muw, w_c, T_c, d_c)
+        return s.reshape(W, K).mean(axis=1)
+
+    return jax.vmap(one)(wrows, T, drp)
+
+
+def test_folded_eclipse_jnp_matches_fine_average(fproblem):
+    """_single_folded == fine-grid evaluation + bin average, up to the
+    bin-center-Planck approximation (~(wndelt/wn)^2 class, far below
+    f32 resolution of the flux here)."""
+    tabk, fine, wn, mu, muw, wrows, T, drp, K = fproblem
+    ref = _fine_then_average(fine, wn, mu, muw, wrows, T, drp, K)
+    got = jax.vmap(
+        lambda w, t, d: fused._single_folded(tabk, wn, mu, muw, w, t, d)
+    )(wrows, T, drp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4)
+
+
+def test_folded_eclipse_pallas_interpret_matches_jnp(fproblem):
+    tabk, fine, wn, mu, muw, wrows, T, drp, K = fproblem
+    ref = jax.vmap(
+        lambda w, t, d: fused._single_folded(tabk, wn, mu, muw, w, t, d)
+    )(wrows, T, drp)
+    old_force, old_interp = fused.FORCE_PALLAS, fused.INTERPRET
+    fused.FORCE_PALLAS, fused.INTERPRET = True, True
+    try:
+        got = jax.vmap(
+            lambda w, t, d: fused.fused_eclipse_folded(
+                tabk, wn, mu, muw, w, t, d)
+        )(wrows, T, drp)
+    finally:
+        fused.FORCE_PALLAS, fused.INTERPRET = old_force, old_interp
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-5)
+
+
+def test_folded_transit_jnp_matches_fine_average(fproblem, tproblem):
+    """Transit folding is algebraically exact (no Planck): folded ==
+    fine + bin-average to rounding."""
+    from bart_tpu.rt.transit_geom import slant_geometry
+
+    tabk, fine, wn, mu, muw, wrows, T, drp, K = fproblem
+    rad = tproblem[2]
+    W = wn.shape[0]
+
+    def ref_one(w_c, r_c):
+        G, wgt = slant_geometry(r_c)
+        s = fused._tsingle(fine, w_c, G, wgt)
+        return s.reshape(W, K).mean(axis=1)
+
+    def fold_one(w_c, r_c):
+        G, wgt = slant_geometry(r_c)
+        return fused._tsingle_folded(tabk, w_c, G, wgt)
+
+    ref = jax.vmap(ref_one)(wrows, rad)
+    got = jax.vmap(fold_one)(wrows, rad)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6)
+
+
+def test_folded_transit_pallas_interpret_matches_jnp(fproblem, tproblem):
+    from bart_tpu.rt.transit_geom import slant_geometry
+
+    tabk, fine, wn, mu, muw, wrows, T, drp, K = fproblem
+    rad = tproblem[2]
+
+    def batch(force):
+        old_force, old_interp = fused.FORCE_PALLAS, fused.INTERPRET
+        fused.FORCE_PALLAS, fused.INTERPRET = force, force
+        try:
+            def one(w_c, r_c):
+                G, wgt = slant_geometry(r_c)
+                return fused.fused_transit_folded(tabk, w_c, G, wgt)
+
+            return jax.vmap(one)(wrows, rad)
+        finally:
+            fused.FORCE_PALLAS, fused.INTERPRET = old_force, old_interp
+
+    ref, got = batch(False), batch(True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=1e-30)
+
+
+def test_forward_model_folded_matches_fine_pipeline():
+    """ForwardModel(fold_osamp=K) == the plain model run on the folded
+    fine grid with its spectrum bin-averaged, for BOTH geometries with
+    CIA + Rayleigh rows folded in (the rt.forward wiring test)."""
+    from bart_tpu.io.kurucz import blackbody_star
+    from bart_tpu.io.tep import PlanetSystem
+    from bart_tpu.linelist.tli import synthetic_linelist
+    from bart_tpu.obs.bands import build_band_matrix
+    from bart_tpu.opacity.cia import CiaTable
+    from bart_tpu.opacity.grid import build_opacity_grid
+    from bart_tpu.rt.forward import ForwardConfig, ForwardModel
+    from bart_tpu.utils.grids import (
+        folded_fine_grid, pressure_grid, wavenumber_grid,
+    )
+
+    K = 4
+    pressure = pressure_grid(16, 1e-5, 100.0)
+    wn_out = wavenumber_grid(wnlow=2500.0, wnhigh=2563.0, wndelt=1.0)
+    wn_fine = folded_fine_grid(wn_out, K)
+    system = PlanetSystem(6075.0, 7.97e8, 4.37, 7.05e9, 9.44e7, 1.32e27)
+    lines = synthetic_linelist("CH4", 2450.0, 2650.0, 300, seed=3)
+    grid = build_opacity_grid(
+        {"CH4": lines}, wn_fine, np.arange(400.0, 3001.0, 650.0), pressure
+    )
+    temps = np.arange(400.0, 3001.0, 400.0)
+    cwn = np.linspace(2000.0, 3000.0, 60)
+    cia = CiaTable(("H2", "H2"), temps, cwn,
+                   1e-7 * (temps[:, None] / 1000.0) ** 1.5
+                   * np.ones((len(temps), 60)))
+    centers = np.linspace(wn_out[6], wn_out[-7], 4)
+    filters = [(np.linspace(c - 6, c + 6, 25), np.ones(25))
+               for c in centers]
+    sp = ["H2", "He", "CH4"]
+    q0 = np.tile([0.85, 0.149, 1e-3], (len(pressure), 1))
+
+    for sol in ("eclipse", "transit"):
+        if sol == "eclipse":
+            sf_out, _ = blackbody_star(wn_out, system.t_star)
+            sf_fine, _ = blackbody_star(wn_fine, system.t_star)
+            b_out = build_band_matrix(wn_out, filters, star_flux=sf_out,
+                                      rprs=system.rprs)
+            b_fine = build_band_matrix(wn_fine, filters, star_flux=sf_fine,
+                                       rprs=system.rprs)
+        else:
+            b_out = build_band_matrix(wn_out, filters)
+            b_fine = build_band_matrix(wn_fine, filters)
+        fc = ForwardConfig(solution=sol, pt_type="line", molfit=("CH4",),
+                           scattering="ray")
+        kw = dict(pressure=pressure, species=sp, base_abundances=q0,
+                  opacity=grid, system=system, cia_tables=[cia])
+        fm_fold = ForwardModel(fc, wn_grid=wn_out, bands=b_out,
+                               fold_osamp=K, **kw)
+        fm_fine = ForwardModel(fc, wn_grid=wn_fine, bands=b_fine, **kw)
+        assert "sigmak" in fm_fold.tables and "frowsk" in fm_fold.tables
+        p = [-2.0, 0.0, 1.0, 0.0, 0.98]
+        if sol == "transit":
+            p.append(system.r_planet / 1000.0)
+        p = jnp.asarray(p + [-1.0, -0.5], fm_fold.dtype)
+        bf1, s1, ok1 = fm_fold.jitted()(p)
+        bf2, s2, ok2 = fm_fine.jitted()(p)
+        assert bool(ok1) and bool(ok2)
+        s2bar = np.asarray(s2).reshape(-1, K).mean(axis=1)
+        np.testing.assert_allclose(np.asarray(s1), s2bar, rtol=1e-4)
+        # batched folded path stays finite and consistent
+        batch = jnp.stack([p, p])
+        bf_b, s_b, ok_b = fm_fold.batched()(batch)
+        np.testing.assert_allclose(np.asarray(s_b[0]), np.asarray(s1),
+                                   rtol=1e-6)
+
+
 def test_forward_model_fused_transit_parity():
     """A transit-geometry ForwardModel takes the fused path and matches
     the unfused slant pipeline end-to-end."""

@@ -109,15 +109,43 @@ def test_just_opacity_stage(tmp_path):
 
 
 def test_rtosamp_refines_grid():
-    """rtosamp runs the whole pipeline at wndelt/rtosamp spacing (the
-    spectrum-level oversampling that replaces the reference's wnosamp;
-    docs/LINE_SAMPLING.md)."""
-    cfg = load_config(DEMO_CFG, {"rtosamp": "4"})
+    """Plain rtosamp (rtfold=False) runs the whole pipeline at
+    wndelt/rtosamp spacing; the default folded mode keeps the output
+    grid at wndelt and handles the fine grid in-kernel
+    (docs/LINE_SAMPLING.md)."""
+    cfg = load_config(DEMO_CFG, {"rtosamp": "4", "rtfold": "False"})
+    assert cfg.fold_K == 1
     wn = cfg.wavenumber_grid()
     cfg1 = load_config(DEMO_CFG)
     wn1 = cfg1.wavenumber_grid()
     assert len(wn) == 4 * (len(wn1) - 1) + 1
     np.testing.assert_allclose(wn[::4], wn1, rtol=1e-12)
+    # folded (default): output grid unchanged, fold_K carries K
+    cfgf = load_config(DEMO_CFG, {"rtosamp": "4"})
+    assert cfgf.fold_K == 4
+    np.testing.assert_allclose(cfgf.wavenumber_grid(), wn1, rtol=1e-12)
+
+
+def test_pipeline_folded_rtosamp(tmp_path):
+    """Full pipeline with folded rtosamp: table built on the fine
+    grid, outputs on the wndelt grid, retrieval runs."""
+    out = str(tmp_path / "fold")
+    cfg = load_config(DEMO_CFG, {
+        "loc_dir": out, "n_layers": "16", "tempdelt": "650",
+        "wndelt": "25", "rtosamp": "4", "numit": "1600", "nchains": "4",
+        "burnin": "100", "quiet": "True", "plots": "False",
+    })
+    p = Pipeline(cfg)
+    result = p.run()
+    assert result.posterior.shape[0] == 4
+    wn_out = cfg.wavenumber_grid()
+    import glob
+
+    grids = glob.glob(os.path.join(out, "*.npz"))
+    from bart_tpu.opacity.grid import load_grid
+
+    g = load_grid([g for g in grids if "opacity" in g or "demo" in g][0])
+    assert len(g.wn_grid) == 4 * len(wn_out)
 
 
 def test_justtea_with_builtin_thermo_tables(tmp_path):
