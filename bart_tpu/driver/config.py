@@ -155,6 +155,12 @@ class RetrievalConfig:
     # K-times smaller tables of the plain mode avoided): default on.
     # rtfold=False recovers the plain everything-on-the-fine-grid mode.
     rtfold: bool = True
+    # Static adaptive in-bin resolution for folded rtosamp: only bins
+    # with in-bin line structure (opacity.grid.fine_bin_mask) pay the
+    # K-sub-sample cost; smooth bins run at K=1 on bin-mean tables
+    # (error bound 0.27 delta^2 ~ 1e-4).  Turn off for wn-sharded
+    # multi-chip runs (the split permutes the wn axis).
+    rtadapt: bool = True
     # sigma-bin-averaged cross-sections (arctan-quadrature points per
     # bin); biased for saturated lines — see docs/LINE_SAMPLING.md
     osamp: int = 1
@@ -163,6 +169,11 @@ class RetrievalConfig:
     ethresh: float = 1e-6
     nwidth: float = 20.0
     raygrid: np.ndarray | None = None
+    # eclipse angular quadrature: 'raygrid' (reference parity) or
+    # 'expsum' (exact-E3 exponential-sum fit: ~65x more accurate than
+    # the 5-angle raygrid AND single-exponential in the fused kernels)
+    quadrature: str = "raygrid"
+    nquad: int = 8
     tlow: float = 400.0
     thigh: float = 3000.0
     tempdelt: float = 100.0
@@ -229,10 +240,10 @@ _ARRAY_KEYS = {"params", "pmin", "pmax", "stepsize", "PTinit", "uniform",
 _STRLIST_KEYS = {"parnames", "molfit", "filters", "csfile"}
 _BOOL_KEYS = {"log", "COswap", "leastsq", "chisqscale", "grtest", "grexit",
               "plots", "quiet", "ebalance", "shareOpacity", "savefiles",
-              "transparent", "wlike", "mpi", "rtfold"}
+              "transparent", "wlike", "mpi", "rtfold", "rtadapt"}
 _INT_KEYS = {"n_layers", "numit", "nchains", "burnin", "thinning",
              "modelper", "maxiter", "seed", "tauiso", "taulevel",
-             "modlevel", "verb", "rtosamp", "osamp"}
+             "modlevel", "verb", "rtosamp", "osamp", "nquad"}
 _FLOAT_KEYS = {"p_top", "p_bottom", "solar_times", "refpress", "cloudtop",
                "Tmin", "Tmax", "tint", "wllow", "wlhigh", "wlfct", "wnlow",
                "wnhigh", "wndelt", "wnosamp", "wnfct", "toomuch", "ethresh",

@@ -414,6 +414,7 @@ class Pipeline:
             refpress=cfg.refpress,
             raygrid=tuple(cfg.raygrid) if cfg.raygrid is not None
                     else (0.0, 20.0, 40.0, 60.0, 80.0),
+            quadrature=cfg.quadrature, nquad=cfg.nquad,
             tint=cfg.tint, tint_type=cfg.tint_type,
         )
         from bart_tpu.opacity.extinction import BroadeningSpec
@@ -426,6 +427,7 @@ class Pipeline:
                 atm.species, atm.abundances),
             nwidth=cfg.nwidth,
             fold_osamp=cfg.fold_K,
+            fold_adapt=(0.02 if cfg.rtadapt else None),
         )
         if cfg.fold_K > 1:
             self.log(f"folded rtosamp: {cfg.fold_K} sub-samples per "

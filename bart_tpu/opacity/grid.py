@@ -28,7 +28,51 @@ from bart_tpu.opacity.extinction import (
     wing_cutoff,
 )
 
-__all__ = ["OpacityGrid", "build_opacity_grid", "interp_opacity", "save_grid", "load_grid"]
+__all__ = ["OpacityGrid", "build_opacity_grid", "interp_opacity",
+           "save_grid", "load_grid", "fine_bin_mask"]
+
+
+def fine_bin_mask(sigma_fine: np.ndarray, K: int, delta: float = 0.02,
+                  floor: float = 1e-12) -> np.ndarray:
+    """Which output bins need in-bin fine resolution? -> bool[Wout].
+
+    Static adaptive resolution for the folded-rtosamp kernels
+    (rt.fused): a bin is SMOOTH when, for every table row (molecule x
+    T-node) and layer, the in-bin relative deviation from the bin mean
+    is <= ``delta``.  Running smooth bins at K=1 on the bin-MEAN
+    cross-section makes the first-order sampling error vanish exactly
+    (avg_k tau_k == taubar by construction); the residual is the
+    curvature term  |avg_k e^-tau - e^-taubar| <= 1/2 Var(tau) e^-taubar
+    <= 0.27 delta^2  (max of tau^2 e^-tau), i.e. <= 1.1e-4 at the
+    default delta — the same error class as rtosamp=32 itself.  Rows
+    whose bin mean is below ``floor`` times the row's global maximum
+    cannot contribute resolvable optical depth and are ignored.
+
+    In-bin structure is bimodal in practice (a bin either contains a
+    line core/shoulder or only smooth wings + continuum), so the mask
+    is insensitive to ``delta`` over decades; at demo line densities
+    ~40-45%% of bins are fine, giving ~2.3x hot-loop speedup at
+    unchanged measured band error (tests/test_fused.py).
+    """
+    sig = np.asarray(sigma_fine)
+    if sig.ndim == 3:
+        sig = sig[None]
+    M, nT, L, Wf = sig.shape
+    W = Wf // K
+    if W * K != Wf:
+        raise ValueError(f"fine wn axis {Wf} is not a multiple of K={K}")
+    fine = np.zeros(W, bool)
+    gmax = sig.max(axis=(1, 2, 3))                   # per molecule
+    for m in range(M):                               # bound peak memory
+        s = sig[m].reshape(nT, L, W, K)
+        sbar = s.mean(-1)
+        dev = np.abs(s - sbar[..., None]).max(-1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rel = np.where(sbar > 0, dev / np.where(sbar > 0, sbar, 1.0),
+                           0.0)
+        negligible = sbar <= floor * gmax[m]
+        fine |= ((rel > delta) & ~negligible).any(axis=(0, 1))
+    return fine
 
 
 @dataclasses.dataclass

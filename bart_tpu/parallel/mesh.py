@@ -171,6 +171,13 @@ def shard_model(fm, mesh: Mesh):
     sharded arrays and XLA partitions the forward model along wn
     automatically (band integration contracts over wn -> one psum).
     """
+    if getattr(fm, "_idx_fine", None) is not None:
+        raise ValueError(
+            "wn-sharded execution requires a contiguous wn axis: build "
+            "the ForwardModel with fold_adapt=None (config rtadapt = "
+            "False) — the adaptive fine/smooth bin split permutes wn "
+            "columns, which would turn the one-psum hot loop into "
+            "gather/scatter collectives")
     fm.n_wn_orig = int(fm._tables["wn"].shape[0])
     fm._tables = shard_tables(pad_tables_for_mesh(fm._tables, mesh), mesh)
     fm._jitted = None

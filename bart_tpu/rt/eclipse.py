@@ -26,7 +26,51 @@ import jax.numpy as jnp
 from bart_tpu.rt.planck import planck_wn
 from bart_tpu.rt.tau import TAU_CLAMP
 
-__all__ = ["eclipse_intensity", "eclipse_flux", "raygrid_weights"]
+__all__ = ["eclipse_intensity", "eclipse_flux", "raygrid_weights",
+           "expsum_weights"]
+
+
+# Exponential-sum quadrature of the angular integral
+#   E3(tau) = int_0^1 e^{-tau/mu} mu dmu  ~=  sum_m a_m e^{-m tau},
+# i.e. nodes mu_m = 1/m with weights w_m = m * a_m in the (mu, w)
+# contract F = 2 pi sum w_m mu_m I(mu_m).  Constrained least-squares
+# fit over tau in [0, 60] with sum a_m = E3(0) = 1/2 EXACT (isothermal
+# limit F = pi B preserved); regenerated against scipy.special.expn in
+# tests/test_rt.py.  Accuracy vs the exact E3: M=8 -> 9.3e-5 max abs
+# (the reference's 5-angle `raygrid 0 20 40 60 80` trapezoid carries
+# 6.0e-3, and angle grids plateau at 2.6e-3 because they truncate the
+# mu -> 0 corner at the last angle).  Because the nodes are 1/m, the
+# attenuation sum is a POLYNOMIAL in u = e^{-tau}: the fused kernels
+# (rt.fused powers mode) evaluate it with ONE exponential + M fused
+# multiply-adds instead of M exponentials.  M > 8 is counterproductive
+# in f32: the fitted coefficients grow (|a| ~ 6e3 at M=12) and their
+# cancellation floor exceeds the fit error.
+_EXPSUM_A = {
+    4: (1.61335934078130794e-01, 4.88550756927762009e-01,
+        -4.07055615912562785e-01, 2.57168924906669982e-01),
+    6: (1.47012763339087416e-01, 7.19438102862494544e-01,
+        -1.55504909139625247e+00, 2.68410535882847823e+00,
+        -2.29259268782271342e+00, 7.97085554188905698e-01),
+    8: (1.37265647678806169e-01, 9.92469095570294391e-01,
+        -4.02223479276460694e+00, 1.30181210122982343e+01,
+        -2.51569208626538448e+01, 2.83933133356001832e+01,
+        -1.71813168685346263e+01, 4.31930343280555995e+00),
+}
+
+
+def expsum_weights(n: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """(mu, w) for the exponential-sum angular quadrature (see
+    _EXPSUM_A): mu = [1, 1/2, ..., 1/n], with w such that
+    w_m mu_m = a_m.  Drop-in for raygrid_weights wherever the (mu, w)
+    quadrature contract is consumed; additionally enables the fused
+    kernels' single-exponential powers mode."""
+    if n not in _EXPSUM_A:
+        raise ValueError(
+            f"expsum quadrature supports n in {sorted(_EXPSUM_A)}, "
+            f"got {n}")
+    a = np.asarray(_EXPSUM_A[n], np.float64)
+    m = np.arange(1, n + 1, dtype=np.float64)
+    return 1.0 / m, a * m
 
 
 def eclipse_intensity(

@@ -67,6 +67,13 @@ class ForwardConfig:
     ebalance: bool = False
     refpress: float = 0.1            # p0 [bar] where R(p0)=Rp (demo cfg)
     raygrid: tuple = (0.0, 20.0, 40.0, 60.0, 80.0)
+    # angular quadrature for the eclipse flux integral: 'raygrid'
+    # (reference parity: trapezoid over the raygrid angles, 6e-3 error
+    # vs the exact E3 integral) or 'expsum' (rt.eclipse.expsum_weights:
+    # nquad exponential-sum nodes mu=1/m — 9e-5 error at nquad=8 AND
+    # one-exponential attenuation in the fused kernels)
+    quadrature: str = "raygrid"
+    nquad: int = 8
     tint: float = 100.0
     tint_type: str = "const"
 
@@ -118,6 +125,7 @@ class ForwardModel:
         nwidth: float = 20.0,
         osamp: int = 1,
         fold_osamp: int = 1,
+        fold_adapt: float | None = 0.02,
         dtype=jnp.float32,
     ):
         self.config = config
@@ -132,6 +140,8 @@ class ForwardModel:
         # folded_fine_grid and streamed sub-sample-major through the
         # kernels, which emit bin-averaged (after exp) output spectra.
         self.fold = int(fold_osamp)
+        # static adaptive-resolution split (set in the fold branch)
+        self._idx_fine = self._idx_smooth = None
         self.wndelt = float(wn_grid[1] - wn_grid[0]) if len(wn_grid) > 1 else 1.0
         cfg = config
 
@@ -207,6 +217,7 @@ class ForwardModel:
             self.t_step = float(opacity.t_grid[1] - opacity.t_grid[0])
             self.n_t = len(opacity.t_grid)
             if self.fold > 1:
+                from bart_tpu.opacity.grid import fine_bin_mask
                 from bart_tpu.rt.fused import fold_table
 
                 M, nT, nL_, Wf = opacity.sigma.shape
@@ -217,14 +228,36 @@ class ForwardModel:
                         f"{Wf} wn samples but the output grid needs "
                         f"{self.fold} x {Wout}")
                 sig = jnp.asarray(opacity.sigma, dtype)
-                # sub-sample-major hot-loop layout [K, M*nT, L, Wout]
-                t["sigmak"] = fold_table(
-                    sig.reshape(M * nT, nL_, Wf), self.fold)
+                sigbar = jnp.mean(
+                    sig.reshape(M, nT, nL_, Wout, self.fold), axis=-1)
                 # bin-averaged coarse table for the unfused/diagnostics
                 # path (plots, contribution functions — NOT the chi^2
                 # path, which runs the folded kernels)
-                t["sigma"] = jnp.mean(
-                    sig.reshape(M, nT, nL_, Wout, self.fold), axis=-1)
+                t["sigma"] = sigbar
+                sigk = fold_table(sig.reshape(M * nT, nL_, Wf), self.fold)
+                # static adaptive resolution (opacity.grid.fine_bin_mask):
+                # only bins with in-bin line structure go through the
+                # K-sub-sample kernel; smooth bins use the bin-mean
+                # table at K=1 (error <= 0.27 delta^2, same 1e-4 class)
+                self._idx_fine = self._idx_smooth = None
+                if fold_adapt:
+                    mask = fine_bin_mask(
+                        np.asarray(opacity.sigma), self.fold,
+                        delta=float(fold_adapt))
+                    if mask.any() and not mask.all():
+                        self._idx_fine = np.where(mask)[0]
+                        self._idx_smooth = np.where(~mask)[0]
+                if self._idx_fine is not None:
+                    idx_f = jnp.asarray(self._idx_fine)
+                    idx_s = jnp.asarray(self._idx_smooth)
+                    t["sigmak"] = sigk[..., idx_f]
+                    t["sigmas"] = sigbar.reshape(
+                        M * nT, nL_, Wout)[..., idx_s]
+                    t["wn_f"] = jnp.asarray(wn_grid, dtype)[idx_f]
+                    t["wn_s"] = jnp.asarray(wn_grid, dtype)[idx_s]
+                else:
+                    # sub-sample-major hot-loop layout [K, M*nT, L, Wout]
+                    t["sigmak"] = sigk
             else:
                 t["sigma"] = opacity.sigma.astype(dtype)
             opac_species = opacity.species
@@ -243,7 +276,18 @@ class ForwardModel:
             t[f"cia{k}_abs"] = jnp.asarray(tab.absorption, dtype)
 
         # --- geometry setup ---
-        mu, w = raygrid_weights(cfg.raygrid)
+        if cfg.quadrature == "expsum":
+            from bart_tpu.rt.eclipse import expsum_weights
+
+            mu, w = expsum_weights(cfg.nquad)
+            self._powers = True
+        elif cfg.quadrature == "raygrid":
+            mu, w = raygrid_weights(cfg.raygrid)
+            self._powers = False
+        else:
+            raise ValueError(
+                f"quadrature must be 'raygrid' or 'expsum', "
+                f"got {cfg.quadrature!r}")
         t["mu"] = jnp.asarray(mu, dtype)
         t["mu_w"] = jnp.asarray(w, dtype)
         t["band_w"] = bands.weights.astype(dtype)
@@ -311,7 +355,16 @@ class ForwardModel:
                 if self.fold > 1:
                     from bart_tpu.rt.fused import fold_table
 
-                    t["frowsk"] = fold_table(frows, self.fold)
+                    frowsk = fold_table(frows, self.fold)
+                    if getattr(self, "_idx_fine", None) is not None:
+                        # continuum rows are smooth by construction
+                        # (CIA/Rayleigh/cloud vary over >> 1 bin), but
+                        # their columns must follow the bin split
+                        t["frowsk"] = frowsk[..., jnp.asarray(self._idx_fine)]
+                        t["frowss"] = jnp.mean(frowsk, axis=0)[
+                            ..., jnp.asarray(self._idx_smooth)]
+                    else:
+                        t["frowsk"] = frowsk
                 else:
                     t["frows"] = frows
 
@@ -399,32 +452,33 @@ class ForwardModel:
         cfg = self.config
         wn = t["wn"]
         if self._fusable and cfg.solution in ("eclipse", "direct"):
-            tab, wrows = self._fused_rows(params, t, T_safe, q, rad_cm)
+            parts, wrows = self._fused_rows(params, t, T_safe, q, rad_cm)
             dr = rad_cm[:-1] - rad_cm[1:]
             drp = jnp.concatenate([jnp.zeros_like(dr[:1]), dr])
             from bart_tpu.rt.fused import fused_eclipse, fused_eclipse_folded
 
-            if self.fold > 1:
-                spectrum = fused_eclipse_folded(
-                    tab, wn, t["mu"], t["mu_w"], wrows, T_safe, drp,
-                )
-            else:
-                spectrum = fused_eclipse(
-                    tab, wn, t["mu"], t["mu_w"], wrows, T_safe, drp,
-                )
+            pieces = []
+            for tab, folded, wn_p, idx in parts:
+                fn = fused_eclipse_folded if folded else fused_eclipse
+                pieces.append((fn(
+                    tab, wn_p, t["mu"], t["mu_w"], wrows, T_safe, drp,
+                    powers=self._powers,
+                ), idx))
+            spectrum = self._assemble(pieces, wn.shape[0])
         elif cfg.solution in ("eclipse", "direct"):
             ext = self._extinction(params, t, T_safe, q, rad_cm)
             tau = tau_vertical(ext, rad_cm)
             spectrum = eclipse_flux(tau, T_safe, wn, t["mu"], t["mu_w"])
         elif cfg.solution == "transit" and self._fusable:
-            tab, wrows = self._fused_rows(params, t, T_safe, q, rad_cm)
+            parts, wrows = self._fused_rows(params, t, T_safe, q, rad_cm)
             G, wgt = slant_geometry(rad_cm)
             from bart_tpu.rt.fused import fused_transit, fused_transit_folded
 
-            if self.fold > 1:
-                absorbed = fused_transit_folded(tab, wrows, G, wgt)
-            else:
-                absorbed = fused_transit(tab, wrows, G, wgt)
+            pieces = []
+            for tab, folded, wn_p, idx in parts:
+                fn = fused_transit_folded if folded else fused_transit
+                pieces.append((fn(tab, wrows, G, wgt), idx))
+            absorbed = self._assemble(pieces, wn.shape[0])
             spectrum = (rad_cm[-1] ** 2 + absorbed) / (
                 self.system.r_star * 100.0
             ) ** 2
@@ -434,6 +488,18 @@ class ForwardModel:
         else:
             raise ValueError(f"unknown solution {cfg.solution!r}")
         return spectrum
+
+    @staticmethod
+    def _assemble(pieces, n_wn):
+        """Reassemble the output spectrum from adaptive dispatch parts
+        ((values, scatter_indices or None) pairs; a single None-index
+        piece IS the spectrum)."""
+        if len(pieces) == 1 and pieces[0][1] is None:
+            return pieces[0][0]
+        out = jnp.zeros(n_wn, pieces[0][0].dtype)
+        for vals, idx in pieces:
+            out = out.at[jnp.asarray(idx)].set(vals)
+        return out
 
     def _atmosphere(self, params, t):
         """Steps 1-4 of the hot loop: params -> (T, q, radii, extinction,
@@ -540,15 +606,26 @@ class ForwardModel:
             )
             cols.append(prof[:, None])
 
+        wrows = jnp.concatenate(cols, axis=1)
         if self.fold > 1:
-            tab = t["sigmak"]                       # [K, M*nT, L, Wout]
-            if "frowsk" in t:
-                tab = jnp.concatenate([tab, t["frowsk"]], axis=1)
-        else:
-            tab = sigma.reshape(M * nT, L, W)
-            if "frows" in t:
-                tab = jnp.concatenate([tab, t["frows"]], axis=0)
-        return tab, jnp.concatenate(cols, axis=1)
+            # dispatch parts: (tab, folded?, wn array, scatter indices)
+            parts = []
+            if "sigmak" in t:
+                tab = t["sigmak"]                   # [K, M*nT, L, W_f]
+                if "frowsk" in t:
+                    tab = jnp.concatenate([tab, t["frowsk"]], axis=1)
+                wn_p = t["wn_f"] if self._idx_fine is not None else t["wn"]
+                parts.append((tab, True, wn_p, self._idx_fine))
+            if "sigmas" in t:
+                tab = t["sigmas"]                   # [M*nT, L, W_s]
+                if "frowss" in t:
+                    tab = jnp.concatenate([tab, t["frowss"]], axis=0)
+                parts.append((tab, False, t["wn_s"], self._idx_smooth))
+            return parts, wrows
+        tab = sigma.reshape(M * nT, L, W)
+        if "frows" in t:
+            tab = jnp.concatenate([tab, t["frows"]], axis=0)
+        return [(tab, False, t["wn"], None)], wrows
 
     def _extinction(self, params, t, T_safe, q, rad_cm):
         """Step 4: extinction [cm-1] per (layer, wn) — unfused path."""

@@ -89,7 +89,26 @@ def interp_weights(n_nodes, t_min, t_step, T):
     return w
 
 
-def _single(tab, wn, mu, muw, wrows, T, drp):
+def _smix_jnp(tau, mu, muw, powers):
+    """S[...] = sum_q w_q mu_q e^{-tau/mu_q}; in powers mode (expsum
+    quadrature, rt.eclipse.expsum_weights: mu_q = 1/(q+1)) evaluated as
+    the Horner polynomial sum_q a_q u^{q+1} of u = e^{-tau} — one
+    exponential for the whole quadrature."""
+    tau_c = jnp.minimum(tau, TAU_CLAMP)
+    a = muw * mu
+    if powers:
+        u = jnp.exp(-tau_c)
+        acc = jnp.zeros_like(u)
+        for q in reversed(range(mu.shape[0])):
+            acc = u * (a[q] + acc)
+        return acc
+    S = jnp.zeros_like(tau_c)
+    for q in range(mu.shape[0]):
+        S = S + a[q] * jnp.exp(-tau_c / mu[q])
+    return S
+
+
+def _single(tab, wn, mu, muw, wrows, T, drp, powers=False):
     """Reference jnp path, one sample (same math as the unfused
     pipeline: extinction einsum + rt.tau.tau_vertical +
     rt.eclipse.eclipse_flux)."""
@@ -104,11 +123,19 @@ def _single(tab, wn, mu, muw, wrows, T, drp):
         precision=jax.lax.Precision.HIGHEST,
     )
     tau = jnp.concatenate([jnp.zeros_like(tau[:1]), tau], axis=0)
-    return eclipse_flux(tau, T, wn, mu, muw)
+    if not powers:
+        return eclipse_flux(tau, T, wn, mu, muw)
+    # powers mode: S via Horner, flux via the same summation-by-parts
+    S = _smix_jnp(tau, mu, muw, True)                          # [L, W]
+    wn3 = _C1 * wn**3
+    B = wn3[None, :] / (jnp.exp(const.C2 * wn[None, :] / T[:, None]) - 1.0)
+    Bmid = 0.5 * (B[:-1] + B[1:])
+    flux = jnp.sum(Bmid * (S[:-1] - S[1:]), axis=0)
+    return 2.0 * jnp.pi * (flux + B[-1] * S[-1])
 
 
 def _kernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
-            out_ref, *, L, nmu):
+            out_ref, *, L, nmu, powers=False):
     """One (wn tile, chain block) program; layer-streaming loop.
 
     aux_ref packs per-(layer, chain) scalars [L, CB, 2]:
@@ -128,6 +155,14 @@ def _kernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
 
     def smix(tau):                                            # [CB,W] -> [CB,W]
         tau_c = jnp.minimum(tau, TAU_CLAMP)
+        if powers:
+            # expsum quadrature: S = Horner polynomial of u = e^-tau
+            # (nodes mu_q = 1/(q+1)); ONE exp for the whole sum
+            u = jnp.exp(-tau_c)
+            acc = jnp.zeros_like(tau)
+            for k in reversed(range(nmu)):
+                acc = u * (wmu_ref[0, k] + acc)
+            return acc
         acc = jnp.zeros_like(tau)
         for k in range(nmu):
             acc = acc + wmu_ref[0, k] * jnp.exp(-tau_c * minv_ref[0, k])
@@ -180,7 +215,7 @@ def _pick_blocks(L, nrows, c_pad, w_pad):
     return min(tile, w_pad), min(cb, c_pad)
 
 
-def _pallas_batch(tab, wn, mu, muw, wrows, T, drp):
+def _pallas_batch(tab, wn, mu, muw, wrows, T, drp, powers=False):
     """Batched Pallas dispatch: wrows [C, L, R], T [C, L], drp [C, L]."""
     f32 = jnp.float32
     R, L, W = tab.shape
@@ -203,7 +238,7 @@ def _pallas_batch(tab, wn, mu, muw, wrows, T, drp):
 
     grid = (w_pad // tile, c_pad // cb)
     out = pl.pallas_call(
-        functools.partial(_kernel, L=L, nmu=nmu),
+        functools.partial(_kernel, L=L, nmu=nmu, powers=powers),
         grid=grid,
         in_specs=[
             pl.BlockSpec((L, R, tile), lambda i, j: (0, 0, i)),
@@ -414,7 +449,7 @@ def fold_table(tab_fine, K):
     return jnp.transpose(tab_fine.reshape(R, L, W, K), (3, 0, 1, 2))
 
 
-def _single_folded(tabk, wn_out, mu, muw, wrows, T, drp):
+def _single_folded(tabk, wn_out, mu, muw, wrows, T, drp, powers=False):
     """Reference jnp path, one sample.  tabk [K, R, L, Wout]."""
     K = tabk.shape[0]
     ext = jnp.einsum("lr,krlw->klw", wrows, tabk,
@@ -425,10 +460,7 @@ def _single_folded(tabk, wn_out, mu, muw, wrows, T, drp):
     tau = jnp.einsum("ij,kjw->kiw", tri, seg,
                      precision=jax.lax.Precision.HIGHEST)
     tau = jnp.concatenate([jnp.zeros_like(tau[:, :1]), tau], axis=1)
-    tau_c = jnp.minimum(tau, TAU_CLAMP)
-    S = jnp.zeros_like(tau_c)
-    for k in range(mu.shape[0]):
-        S = S + (muw[k] * mu[k]) * jnp.exp(-tau_c / mu[k])
+    S = _smix_jnp(tau, mu, muw, powers)
     sbar = jnp.mean(S, axis=0)                                 # [L, Wout]
     wn3 = _C1 * wn_out**3
     B = wn3[None, :] / (jnp.exp(const.C2 * wn_out[None, :] / T[:, None])
@@ -439,7 +471,7 @@ def _single_folded(tabk, wn_out, mu, muw, wrows, T, drp):
 
 
 def _fkernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
-             out_ref, sbar_scr, *, L, nmu, K):
+             out_ref, sbar_scr, *, L, nmu, K, powers=False):
     """One (wn tile, chain block, sub-sample) program.
 
     Grid is (wn tiles, chain blocks, K) with the sub-sample axis
@@ -460,6 +492,12 @@ def _fkernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
 
     def smix(tau):
         tau_c = jnp.minimum(tau, TAU_CLAMP)
+        if powers:
+            u = jnp.exp(-tau_c)
+            acc = jnp.zeros_like(tau)
+            for q in reversed(range(nmu)):
+                acc = u * (wmu_ref[0, q] + acc)
+            return acc
         acc = jnp.zeros_like(tau)
         for q in range(nmu):
             acc = acc + wmu_ref[0, q] * jnp.exp(-tau_c * minv_ref[0, q])
@@ -518,7 +556,7 @@ def _fkernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
         out_ref[:, :] = 2.0 * jnp.pi * (flux + B_b * sb_b)
 
 
-def _fpallas_batch(tabk, wn_out, mu, muw, wrows, T, drp):
+def _fpallas_batch(tabk, wn_out, mu, muw, wrows, T, drp, powers=False):
     """Folded batched dispatch: tabk [K, R, L, Wout], wrows [C, L, R]."""
     f32 = jnp.float32
     K, R, L, W = tabk.shape
@@ -547,7 +585,7 @@ def _fpallas_batch(tabk, wn_out, mu, muw, wrows, T, drp):
 
     grid = (w_pad // tile, c_pad // cb, K)
     out = pl.pallas_call(
-        functools.partial(_fkernel, L=L, nmu=nmu, K=K),
+        functools.partial(_fkernel, L=L, nmu=nmu, K=K, powers=powers),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, L, R, tile), lambda i, j, k: (k, 0, 0, i)),
@@ -572,36 +610,55 @@ def _fpallas_batch(tabk, wn_out, mu, muw, wrows, T, drp):
     return out[:C, :W]
 
 
-@jax.custom_batching.custom_vmap
-def fused_eclipse_folded(tabk, wn_out, mu, muw, wrows, T, drp):
+@functools.lru_cache(maxsize=None)
+def _eclipse_entry(folded: bool, powers: bool):
+    """custom_vmap eclipse entry specialized on (folded, powers) —
+    static flags that pick the kernel variant, cached so every
+    ForwardModel with the same configuration shares one jaxpr."""
+    single = _single_folded if folded else _single
+    batch = _fpallas_batch if folded else _pallas_batch
+
+    @jax.custom_batching.custom_vmap
+    def entry(tab, wn, mu, muw, wrows, T, drp):
+        return single(tab, wn, mu, muw, wrows, T, drp, powers=powers)
+
+    @entry.def_vmap
+    def _vmap(axis_size, in_batched, tab, wn, mu, muw, wrows, T, drp):
+        wb, tb, db = in_batched[4], in_batched[5], in_batched[6]
+        if any(in_batched[:4]) or not (wb and tb and db):
+            axes = tuple(0 if b else None for b in in_batched)
+            return jax.vmap(
+                functools.partial(single, powers=powers), in_axes=axes
+            )(tab, wn, mu, muw, wrows, T, drp), True
+
+        use_pallas = FORCE_PALLAS
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            out = batch(tab, wn, mu, muw, wrows, T, drp,
+                        powers=powers).astype(T.dtype)
+        else:
+            out = jax.vmap(
+                functools.partial(single, powers=powers),
+                in_axes=(None,) * 4 + (0, 0, 0),
+            )(tab, wn, mu, muw, wrows, T, drp)
+        return out, True
+
+    return entry
+
+
+def fused_eclipse_folded(tabk, wn_out, mu, muw, wrows, T, drp,
+                         powers=False):
     """Eclipse flux F[wn_out] with in-kernel rtosamp folding, one
     sample.  tabk [K, R, L, Wout] sub-sample-major fine table
     (``fold_table``); wn_out the OUTPUT bin centers; other arguments
     as fused_eclipse.  Under ``vmap`` the batch runs as one Pallas
-    kernel with an inner sub-sample grid axis on TPU.
+    kernel with an inner sub-sample grid axis on TPU.  ``powers=True``
+    requires the expsum quadrature (rt.eclipse.expsum_weights) and
+    evaluates the whole mu sum with one exponential.
     """
-    return _single_folded(tabk, wn_out, mu, muw, wrows, T, drp)
-
-
-@fused_eclipse_folded.def_vmap
-def _fef_vmap(axis_size, in_batched, tabk, wn_out, mu, muw, wrows, T, drp):
-    wb, tb, db = in_batched[4], in_batched[5], in_batched[6]
-    if any(in_batched[:4]) or not (wb and tb and db):
-        axes = tuple(0 if b else None for b in in_batched)
-        return jax.vmap(_single_folded, in_axes=axes)(
-            tabk, wn_out, mu, muw, wrows, T, drp), True
-
-    use_pallas = FORCE_PALLAS
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        out = _fpallas_batch(tabk, wn_out, mu, muw, wrows, T, drp)
-        out = out.astype(T.dtype)
-    else:
-        out = jax.vmap(
-            _single_folded, in_axes=(None,) * 4 + (0, 0, 0)
-        )(tabk, wn_out, mu, muw, wrows, T, drp)
-    return out, True
+    return _eclipse_entry(True, powers)(
+        tabk, wn_out, mu, muw, wrows, T, drp)
 
 
 def _tsingle_folded(tabk, wrows, G, wgt):
@@ -739,34 +796,13 @@ def _ftf_vmap(axis_size, in_batched, tabk, wrows, G, wgt):
     return out, True
 
 
-@jax.custom_batching.custom_vmap
-def fused_eclipse(tab, wn, mu, muw, wrows, T, drp):
+def fused_eclipse(tab, wn, mu, muw, wrows, T, drp, powers=False):
     """Eclipse flux F[wn] from extinction rows, one sample.
 
     tab [rows, layer, wn] static absorber rows; wrows [layer, rows]
     per-sample weights; T [layer] K; drp [layer] cm with drp[0] == 0
     (drp[l] = r_{l-1} - r_l).  Under ``vmap`` over (wrows, T, drp) the
-    batch runs as one fused Pallas kernel on TPU.
+    batch runs as one fused Pallas kernel on TPU.  ``powers=True``
+    requires the expsum quadrature (rt.eclipse.expsum_weights).
     """
-    return _single(tab, wn, mu, muw, wrows, T, drp)
-
-
-@fused_eclipse.def_vmap
-def _fe_vmap(axis_size, in_batched, tab, wn, mu, muw, wrows, T, drp):
-    wb, tb, db = in_batched[4], in_batched[5], in_batched[6]
-    if any(in_batched[:4]) or not (wb and tb and db):
-        # tables batched (never happens in the samplers) — fall back
-        axes = tuple(0 if b else None for b in in_batched)
-        return jax.vmap(_single, in_axes=axes)(
-            tab, wn, mu, muw, wrows, T, drp), True
-
-    use_pallas = FORCE_PALLAS
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        out = _pallas_batch(tab, wn, mu, muw, wrows, T, drp).astype(T.dtype)
-    else:
-        out = jax.vmap(
-            _single, in_axes=(None,) * 4 + (0, 0, 0)
-        )(tab, wn, mu, muw, wrows, T, drp)
-    return out, True
+    return _eclipse_entry(False, powers)(tab, wn, mu, muw, wrows, T, drp)

@@ -321,6 +321,38 @@ def test_folded_eclipse_pallas_interpret_matches_jnp(fproblem):
                                rtol=5e-5)
 
 
+def test_powers_kernels_match_jnp(fproblem):
+    """expsum powers mode (Horner attenuation): Pallas interpret ==
+    jnp path, for both the plain and folded eclipse kernels."""
+    from bart_tpu.rt.eclipse import expsum_weights
+
+    tabk, fine, wn_out, _, _, wrows, T, drp, K = fproblem
+    mu, muw = expsum_weights(8)
+    mu, muw = jnp.asarray(mu), jnp.asarray(muw)
+    W = wn_out.shape[0]
+    d = wn_out[1] - wn_out[0]
+    off = d * ((jnp.arange(K) + 0.5) / K - 0.5)
+    wn_fine = (wn_out[:, None] + off[None, :]).reshape(-1)
+
+    for folded, tab, wn in ((False, fine, wn_fine), (True, tabk, wn_out)):
+        single = fused._single_folded if folded else fused._single
+        entry = fused.fused_eclipse_folded if folded else fused.fused_eclipse
+        ref = jax.vmap(
+            lambda w, t, d: single(tab, wn, mu, muw, w, t, d, powers=True)
+        )(wrows, T, drp)
+        old_force, old_interp = fused.FORCE_PALLAS, fused.INTERPRET
+        fused.FORCE_PALLAS, fused.INTERPRET = True, True
+        try:
+            got = jax.vmap(
+                lambda w, t, d: entry(tab, wn, mu, muw, w, t, d,
+                                      powers=True)
+            )(wrows, T, drp)
+        finally:
+            fused.FORCE_PALLAS, fused.INTERPRET = old_force, old_interp
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=5e-5)
+
+
 def test_folded_transit_jnp_matches_fine_average(fproblem, tproblem):
     """Transit folding is algebraically exact (no Planck): folded ==
     fine + bin-average to rounding."""
@@ -388,9 +420,13 @@ def test_forward_model_folded_matches_fine_pipeline():
     wn_out = wavenumber_grid(wnlow=2500.0, wnhigh=2563.0, wndelt=1.0)
     wn_fine = folded_fine_grid(wn_out, K)
     system = PlanetSystem(6075.0, 7.97e8, 4.37, 7.05e9, 9.44e7, 1.32e27)
-    lines = synthetic_linelist("CH4", 2450.0, 2650.0, 300, seed=3)
+    # clustered list with a line-free region (beyond the nwidth wing
+    # cutoff) so the adaptive fine/smooth split activates
+    lines = synthetic_linelist("CH4", 2495.0, 2515.0, 60, seed=3,
+                               band_centers=(2505.0,))
     grid = build_opacity_grid(
-        {"CH4": lines}, wn_fine, np.arange(400.0, 3001.0, 650.0), pressure
+        {"CH4": lines}, wn_fine, np.arange(400.0, 3001.0, 650.0),
+        pressure, nwidth=5.0,
     )
     temps = np.arange(400.0, 3001.0, 400.0)
     cwn = np.linspace(2000.0, 3000.0, 60)
@@ -419,7 +455,7 @@ def test_forward_model_folded_matches_fine_pipeline():
         kw = dict(pressure=pressure, species=sp, base_abundances=q0,
                   opacity=grid, system=system, cia_tables=[cia])
         fm_fold = ForwardModel(fc, wn_grid=wn_out, bands=b_out,
-                               fold_osamp=K, **kw)
+                               fold_osamp=K, fold_adapt=None, **kw)
         fm_fine = ForwardModel(fc, wn_grid=wn_fine, bands=b_fine, **kw)
         assert "sigmak" in fm_fold.tables and "frowsk" in fm_fold.tables
         p = [-2.0, 0.0, 1.0, 0.0, 0.98]
@@ -435,6 +471,23 @@ def test_forward_model_folded_matches_fine_pipeline():
         batch = jnp.stack([p, p])
         bf_b, s_b, ok_b = fm_fold.batched()(batch)
         np.testing.assert_allclose(np.asarray(s_b[0]), np.asarray(s1),
+                                   rtol=1e-6)
+
+        # static adaptive split (fold_adapt): only structured bins pay
+        # K sub-samples; result stays within the rtosamp error class
+        fm_ad = ForwardModel(fc, wn_grid=wn_out, bands=b_out,
+                             fold_osamp=K, fold_adapt=0.02, **kw)
+        assert fm_ad._idx_fine is not None, "demo table should split"
+        assert "sigmas" in fm_ad.tables and "frowss" in fm_ad.tables
+        n_f, n_s = len(fm_ad._idx_fine), len(fm_ad._idx_smooth)
+        assert n_f + n_s == len(wn_out) and n_s > 0
+        bf3, s3, ok3 = fm_ad.jitted()(p)
+        assert bool(ok3)
+        np.testing.assert_allclose(np.asarray(s3), np.asarray(s1),
+                                   rtol=3e-4)
+        # fine bins are numerically identical to the full-fold model
+        np.testing.assert_allclose(np.asarray(s3)[fm_ad._idx_fine],
+                                   np.asarray(s1)[fm_ad._idx_fine],
                                    rtol=1e-6)
 
 

@@ -369,3 +369,104 @@ def test_forward_extended_cloud():
         cloudext=0.0)
     bf2 = np.asarray(fm2.jitted()(jnp.asarray(params))[0])
     np.testing.assert_allclose(bf2, bf0, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------
+# Exponential-sum angular quadrature (rt.eclipse.expsum_weights)
+
+
+def test_expsum_weights_regenerate_and_beat_raygrid():
+    """The hard-coded expsum coefficients reproduce the constrained
+    least-squares fit of E3(tau) (regenerated here against scipy), the
+    isothermal limit is exact, and every supported order beats the
+    reference's 5-angle raygrid against the exact integral."""
+    from scipy.special import expn
+
+    from bart_tpu.rt.eclipse import expsum_weights, raygrid_weights
+
+    tau = np.concatenate(
+        [np.linspace(0, 5, 8001)[1:], np.geomspace(5, 60, 4000)]
+    )
+    u = np.exp(-tau)
+    truth = expn(3, tau)
+
+    mur, wr = raygrid_weights((0.0, 20.0, 40.0, 60.0, 80.0))
+    ray_err = np.max(np.abs(
+        np.sum((wr * mur)[:, None] * np.exp(-tau[None, :] / mur[:, None]),
+               axis=0) - truth))
+    assert 5e-3 < ray_err < 7e-3       # the raygrid-5 error is real
+
+    for n, bound in ((4, 9e-4), (6, 2e-4), (8, 1e-4)):
+        mu, w = expsum_weights(n)
+        a = w * mu
+        # isothermal limit F = pi B: sum a = E3(0) = 1/2 exactly
+        np.testing.assert_allclose(a.sum(), 0.5, atol=1e-12)
+        S = np.sum(a[:, None] * u[None, :] ** np.arange(1, n + 1)[:, None],
+                   axis=0)
+        err = np.max(np.abs(S - truth))
+        assert err < bound < ray_err
+
+        # regeneration: the constrained lsq fit reproduces the stored
+        # coefficients (provenance check)
+        A = np.stack([u**m for m in range(1, n + 1)], axis=1)
+        A2 = A[:, :-1] - A[:, -1:]
+        c, *_ = np.linalg.lstsq(A2, truth - 0.5 * A[:, -1], rcond=None)
+        coef = np.concatenate([c, [0.5 - c.sum()]])
+        np.testing.assert_allclose(coef, a, rtol=1e-6)
+
+    with pytest.raises(ValueError):
+        expsum_weights(5)
+
+
+def test_expsum_forward_model_beats_raygrid_on_flux():
+    """End-to-end eclipse fluxes: quadrature='expsum' is an order of
+    magnitude closer to a dense Gauss-Legendre angular integration
+    than the reference's raygrid for an optically realistic column."""
+    import bart_tpu.rt.fused as fused
+    from bart_tpu.rt.eclipse import expsum_weights, raygrid_weights
+
+    rng = np.random.default_rng(0)
+    R, L, W = 9, 40, 64
+    tab = jnp.asarray(rng.lognormal(-40, 2, (R, L, W)))
+    wn = jnp.asarray(np.linspace(2000.0, 2063.0, W))
+    wrows = jnp.asarray(rng.lognormal(28, 1, (L, R))) * 3e-5
+    T = jnp.asarray(rng.uniform(900.0, 2000.0, (L,)))
+    drp = np.abs(rng.normal(2e7, 3e6, (L,)))
+    drp[0] = 0.0
+    drp = jnp.asarray(drp)
+
+    x, gw = np.polynomial.legendre.leggauss(400)
+    truth = fused._single(tab, wn, jnp.asarray(0.5 * (x + 1)),
+                          jnp.asarray(0.5 * gw), wrows, T, drp)
+    mur, wr = raygrid_weights((0.0, 20.0, 40.0, 60.0, 80.0))
+    ray = fused._single(tab, wn, jnp.asarray(mur), jnp.asarray(wr),
+                        wrows, T, drp)
+    mu, w = expsum_weights(8)
+    exs = fused._single(tab, wn, jnp.asarray(mu), jnp.asarray(w),
+                        wrows, T, drp, powers=True)
+    ray_err = float(jnp.max(jnp.abs(ray / truth - 1)))
+    exs_err = float(jnp.max(jnp.abs(exs / truth - 1)))
+    assert exs_err < ray_err / 10
+    assert exs_err < 2e-3
+
+    # powers (Horner) evaluation == exponential evaluation of the
+    # same quadrature
+    exs_exp = fused._single(tab, wn, jnp.asarray(mu), jnp.asarray(w),
+                            wrows, T, drp, powers=False)
+    np.testing.assert_allclose(np.asarray(exs), np.asarray(exs_exp),
+                               rtol=1e-6)
+
+
+def test_expsum_forward_config():
+    """ForwardConfig(quadrature='expsum') wires the quadrature and the
+    kernels' powers mode through the ForwardModel."""
+    fm = make_demo_forward("eclipse", quadrature="expsum", nquad=8)
+    assert fm._powers
+    assert fm.mu.shape[0] == 8
+    bf, spec, ok = fm.jitted()(jnp.asarray(DEMO_PARAMS, fm.dtype))
+    assert bool(ok) and bool(jnp.isfinite(spec).all())
+    # same model with raygrid agrees at the quadrature-error level
+    fm0 = make_demo_forward("eclipse")
+    bf0, spec0, _ = fm0.jitted()(jnp.asarray(DEMO_PARAMS, fm0.dtype))
+    np.testing.assert_allclose(np.asarray(spec), np.asarray(spec0),
+                               rtol=0.05)
