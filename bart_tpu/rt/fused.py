@@ -71,6 +71,16 @@ _C1 = 2.0 * const.H_PLANCK * const.C_LIGHT**2   # 2 h c^2
 _VMEM_BUDGET = 20 * 2**20
 _VMEM_LIMIT = 96 * 2**20                         # v5e has 128 MB VMEM
 
+# Layers processed per loop iteration in the fused kernels.  The
+# per-iteration fixed cost (dynamic ref slicing, loop/branch machinery,
+# small-matmul dispatch) measured ~350 ns on v5e — comparable to the
+# layer's actual arithmetic — so U layers share ONE dynamic slice of
+# each operand and ONE scratch store (17x on the plain eclipse kernel:
+# 95 -> 5.5 ms per 512-chain demo batch, serialized timing).  Dispatch
+# code pads the layer axis (T edge-replicated, dr = 0, zero table
+# rows: exact no-ops in the recurrence) so the loop divides evenly.
+_CHUNK = 8
+
 # test hook: None = auto (TPU -> pallas), True/False force
 FORCE_PALLAS: bool | None = None
 # set by tests to run the kernel in interpreter mode off-TPU
@@ -135,8 +145,10 @@ def _single(tab, wn, mu, muw, wrows, T, drp, powers=False):
 
 
 def _kernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
-            out_ref, *, L, nmu, powers=False):
-    """One (wn tile, chain block) program; layer-streaming loop.
+            out_ref, *, L, nmu, powers=False, U=8):
+    """One (wn tile, chain block) program; chunked layer-streaming loop
+    (U layers share one dynamic slice + one batched MXU contraction —
+    see _CHUNK; the dispatch pads the layer axis so (L-1) divides U).
 
     aux_ref packs per-(layer, chain) scalars [L, CB, 2]:
     lane 0 = temperature, lane 1 = radius segment dr_{l-1,l} [cm]
@@ -168,32 +180,40 @@ def _kernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
             acc = acc + wmu_ref[0, k] * jnp.exp(-tau_c * minv_ref[0, k])
         return acc
 
-    def ext_at(layer):                                        # [CB,W]
-        return jax.lax.dot_general(
-            wnm_ref[layer], tab_ref[layer],
-            (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-
-    ext0 = ext_at(0)
+    ext0 = jax.lax.dot_general(
+        wnm_ref[0], tab_ref[0],
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
     tau0 = jnp.zeros_like(ext0)
     B0 = planck(aux_ref[0][:, 0:1])
     S0 = smix(tau0)
     flux0 = jnp.zeros_like(ext0)
 
-    def body(layer, carry):
+    def body(c, carry):
         ext_p, tau_p, B_p, S_p, flux = carry
-        aux_l = aux_ref[layer]
-        ext_l = ext_at(layer)
-        tau_l = tau_p + 0.5 * (ext_p + ext_l) * aux_l[:, 1:2]
-        B_l = planck(aux_l[:, 0:1])
-        S_l = smix(tau_l)
-        flux = flux + 0.5 * (B_p + B_l) * (S_p - S_l)
-        return ext_l, tau_l, B_l, S_l, flux
+        base = 1 + c * U
+        aux_c = aux_ref[pl.ds(base, U)]                       # [U, cb, 2]
+        wnm_c = wnm_ref[pl.ds(base, U)]                       # [U, cb, R]
+        tab_c = tab_ref[pl.ds(base, U)]                       # [U, R, tile]
+        for u in range(U):
+            ext_l = jax.lax.dot_general(
+                wnm_c[u], tab_c[u],
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            tau_p = tau_p + 0.5 * (ext_p + ext_l) * aux_c[u, :, 1:2]
+            ext_p = ext_l
+            B_l = planck(aux_c[u, :, 0:1])
+            S_l = smix(tau_p)
+            flux = flux + 0.5 * (B_p + B_l) * (S_p - S_l)
+            B_p, S_p = B_l, S_l
+        return ext_p, tau_p, B_p, S_p, flux
 
     _, _, B_b, S_b, flux = jax.lax.fori_loop(
-        1, L, body, (ext0, tau0, B0, S0, flux0)
+        0, (L - 1) // U, body, (ext0, tau0, B0, S0, flux0)
     )
     out_ref[:, :] = 2.0 * jnp.pi * (flux + B_b * S_b)
 
@@ -225,25 +245,31 @@ def _pallas_batch(tab, wn, mu, muw, wrows, T, drp, powers=False):
     tile, cb = _pick_blocks(L, R, max(C, 8), max(W, 128))
     w_pad = -(-W // tile) * tile
     c_pad = -(-C // cb) * cb
+    # layer padding for the chunked loop (see _fpallas_batch)
+    U = _CHUNK
+    Lp = 1 + U * (-(-(L - 1) // U))
     tab_t = jnp.pad(jnp.transpose(tab.astype(f32), (1, 0, 2)),
-                    ((0, 0), (0, 0), (0, w_pad - W)))          # [L, R, Wp]
+                    ((0, Lp - L), (0, 0), (0, w_pad - W)))     # [Lp, R, Wp]
     wn_p = jnp.pad(wn.astype(f32), (0, w_pad - W), constant_values=1.0)
 
     wnm_t = jnp.pad(jnp.transpose(wrows.astype(f32), (1, 0, 2)),
-                    ((0, 0), (0, c_pad - C), (0, 0)))          # [L, Cp, R]
-    aux = jnp.stack([T.astype(f32), drp.astype(f32)], axis=-1) # [C, L, 2]
+                    ((0, Lp - L), (0, c_pad - C), (0, 0)))     # [Lp, Cp, R]
+    T_p = jnp.concatenate(
+        [T.astype(f32)] + [T.astype(f32)[:, -1:]] * (Lp - L), axis=1)
+    drp_p = jnp.pad(drp.astype(f32), ((0, 0), (0, Lp - L)))
+    aux = jnp.stack([T_p, drp_p], axis=-1)                    # [C, Lp, 2]
     aux_t = jnp.pad(jnp.transpose(aux, (1, 0, 2)),
                     ((0, 0), (0, c_pad - C), (0, 0)),
-                    constant_values=1000.0)                    # [L, Cp, 2]
+                    constant_values=1000.0)                    # [Lp, Cp, 2]
 
     grid = (w_pad // tile, c_pad // cb)
     out = pl.pallas_call(
-        functools.partial(_kernel, L=L, nmu=nmu, powers=powers),
+        functools.partial(_kernel, L=Lp, nmu=nmu, powers=powers, U=U),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((L, R, tile), lambda i, j: (0, 0, i)),
-            pl.BlockSpec((L, cb, R), lambda i, j: (0, j, 0)),
-            pl.BlockSpec((L, cb, 2), lambda i, j: (0, j, 0)),
+            pl.BlockSpec((Lp, R, tile), lambda i, j: (0, 0, i)),
+            pl.BlockSpec((Lp, cb, R), lambda i, j: (0, j, 0)),
+            pl.BlockSpec((Lp, cb, 2), lambda i, j: (0, j, 0)),
             pl.BlockSpec((1, tile), lambda i, j: (0, i)),
             pl.BlockSpec((1, nmu), lambda i, j: (0, 0)),
             pl.BlockSpec((1, nmu), lambda i, j: (0, 0)),
@@ -296,20 +322,28 @@ def _tsingle(tab, wrows, G, wgt):
 
 
 def _tkernel(tab_ref, wnm_ref, g_ref, wgt_ref, out_ref, ext_scr,
-             *, L, CB):
+             *, L, CB, U=_CHUNK):
     """One (wn tile, chain block) program: layer-streamed extinction
-    into VMEM scratch, then per-chain slant-geometry matmuls."""
+    into VMEM scratch (U layers per chunk — see _CHUNK; the dispatch
+    pads L to a multiple of U with zero rows), then per-chain
+    slant-geometry matmuls."""
 
-    def fill(layer, _):
-        ext_scr[layer] = jax.lax.dot_general(
-            wnm_ref[layer], tab_ref[layer],
-            (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+    def fill(c, _):
+        base = c * U
+        wnm_c = wnm_ref[pl.ds(base, U)]                       # [U, cb, R]
+        tab_c = tab_ref[pl.ds(base, U)]                       # [U, R, tile]
+        ext_scr[pl.ds(base, U)] = jnp.stack([
+            jax.lax.dot_general(
+                wnm_c[u], tab_c[u],
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            for u in range(U)
+        ])
         return 0
 
-    jax.lax.fori_loop(0, L, fill, 0)
+    jax.lax.fori_loop(0, L // U, fill, 0)
 
     for c in range(CB):
         tau = jax.lax.dot_general(
@@ -350,26 +384,30 @@ def _tpallas_batch(tab, wrows, G, wgt):
         cb //= 2
     w_pad = -(-W // tile) * tile
     c_pad = -(-C // cb) * cb
+    # layer padding for the chunked fill (zero rows: weight 0, no tau)
+    U = _CHUNK
+    Lp = U * (-(-L // U))
     tab_t = jnp.pad(jnp.transpose(tab.astype(f32), (1, 0, 2)),
-                    ((0, 0), (0, 0), (0, w_pad - W)))          # [L, R, Wp]
+                    ((0, Lp - L), (0, 0), (0, w_pad - W)))     # [Lp, R, Wp]
     wnm_t = jnp.pad(jnp.transpose(wrows.astype(f32), (1, 0, 2)),
-                    ((0, 0), (0, c_pad - C), (0, 0)))          # [L, Cp, R]
-    g_p = jnp.pad(G.astype(f32), ((0, c_pad - C), (0, 0), (0, 0)))
-    wgt_p = jnp.pad(wgt.astype(f32), ((0, c_pad - C), (0, 0)))
+                    ((0, Lp - L), (0, c_pad - C), (0, 0)))     # [Lp, Cp, R]
+    g_p = jnp.pad(G.astype(f32),
+                  ((0, c_pad - C), (0, Lp - L), (0, Lp - L)))
+    wgt_p = jnp.pad(wgt.astype(f32), ((0, c_pad - C), (0, Lp - L)))
 
     grid = (w_pad // tile, c_pad // cb)
     out = pl.pallas_call(
-        functools.partial(_tkernel, L=L, CB=cb),
+        functools.partial(_tkernel, L=Lp, CB=cb, U=U),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((L, R, tile), lambda i, j: (0, 0, i)),
-            pl.BlockSpec((L, cb, R), lambda i, j: (0, j, 0)),
-            pl.BlockSpec((cb, L, L), lambda i, j: (j, 0, 0)),
-            pl.BlockSpec((cb, L), lambda i, j: (j, 0)),
+            pl.BlockSpec((Lp, R, tile), lambda i, j: (0, 0, i)),
+            pl.BlockSpec((Lp, cb, R), lambda i, j: (0, j, 0)),
+            pl.BlockSpec((cb, Lp, Lp), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((cb, Lp), lambda i, j: (j, 0)),
         ],
         out_specs=pl.BlockSpec((cb, tile), lambda i, j: (j, i)),
         out_shape=jax.ShapeDtypeStruct((c_pad, w_pad), f32),
-        scratch_shapes=[pltpu.VMEM((L, cb, tile), f32)],
+        scratch_shapes=[pltpu.VMEM((Lp, cb, tile), f32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
@@ -471,7 +509,7 @@ def _single_folded(tabk, wn_out, mu, muw, wrows, T, drp, powers=False):
 
 
 def _fkernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
-             out_ref, sbar_scr, *, L, nmu, K, powers=False):
+             out_ref, sbar_scr, *, L, nmu, K, powers=False, U=_CHUNK):
     """One (wn tile, chain block, sub-sample) program.
 
     Grid is (wn tiles, chain blocks, K) with the sub-sample axis
@@ -479,7 +517,7 @@ def _fkernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
     (their index maps ignore k) while the [K, L, R, Wout] table
     streams its k-slice each step.  ``sbar_scr`` [L, CB, W] persists
     across grid steps, accumulating avg_k S_l; the Planck pass runs
-    once at k == K-1.
+    once at k == K-1.  Layers advance U at a time (see _CHUNK).
     """
     k = pl.program_id(2)
     invK = 1.0 / K
@@ -503,15 +541,12 @@ def _fkernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
             acc = acc + wmu_ref[0, q] * jnp.exp(-tau_c * minv_ref[0, q])
         return acc
 
-    def ext_at(layer):
-        return jax.lax.dot_general(
-            wnm_ref[layer], tab_ref[0, layer],
-            (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-
-    ext0 = ext_at(0)
+    ext0 = jax.lax.dot_general(
+        wnm_ref[0], tab_ref[0, 0],
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
     # tau = 0 at the top layer: S there is the constant quadrature sum
     s_top = jnp.zeros_like(ext0) + jnp.sum(wmu_ref[0, :])
 
@@ -519,39 +554,56 @@ def _fkernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
     def _():
         sbar_scr[0] = s_top
 
-    def body(layer, carry):
+    def body(c, carry):
         ext_p, tau_p = carry
-        aux_l = aux_ref[layer]
-        ext_l = ext_at(layer)
-        tau_l = tau_p + 0.5 * (ext_p + ext_l) * aux_l[:, 1:2]
-        s_l = smix(tau_l) * invK
+        base = 1 + c * U
+        aux_c = aux_ref[pl.ds(base, U)]                       # [U, cb, 2]
+        wnm_c = wnm_ref[pl.ds(base, U)]                       # [U, cb, R]
+        tab_c = tab_ref[0, pl.ds(base, U)]                    # [U, R, tile]
+        s_list = []
+        for u in range(U):
+            ext_l = jax.lax.dot_general(
+                wnm_c[u], tab_c[u],
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            tau_p = tau_p + 0.5 * (ext_p + ext_l) * aux_c[u, :, 1:2]
+            ext_p = ext_l
+            s_list.append(smix(tau_p) * invK)
+        s_c = jnp.stack(s_list)                               # [U, cb, tile]
 
         @pl.when(k == 0)
         def _():
-            sbar_scr[layer] = s_l
+            sbar_scr[pl.ds(base, U)] = s_c
 
         @pl.when(k > 0)
         def _():
-            sbar_scr[layer] += s_l
+            sbar_scr[pl.ds(base, U)] += s_c
 
-        return ext_l, tau_l
+        return ext_p, tau_p
 
-    jax.lax.fori_loop(1, L, body, (ext0, jnp.zeros_like(ext0)))
+    jax.lax.fori_loop(0, (L - 1) // U, body, (ext0, jnp.zeros_like(ext0)))
 
     @pl.when(k == K - 1)
     def _():
         B0 = planck(aux_ref[0][:, 0:1])
         flux0 = jnp.zeros_like(B0 * s_top)
 
-        def body2(layer, carry):
+        def body2(c, carry):
             B_p, sb_p, flux = carry
-            B_l = planck(aux_ref[layer][:, 0:1])
-            sb_l = sbar_scr[layer]
-            flux = flux + 0.5 * (B_p + B_l) * (sb_p - sb_l)
-            return B_l, sb_l, flux
+            base = 1 + c * U
+            aux_c = aux_ref[pl.ds(base, U)]
+            sb_c = sbar_scr[pl.ds(base, U)]
+            for u in range(U):
+                B_l = planck(aux_c[u, :, 0:1])
+                sb_l = sb_c[u]
+                flux = flux + 0.5 * (B_p + B_l) * (sb_p - sb_l)
+                B_p, sb_p = B_l, sb_l
+            return B_p, sb_p, flux
 
         B_b, sb_b, flux = jax.lax.fori_loop(
-            1, L, body2, (B0, sbar_scr[0], flux0)
+            0, (L - 1) // U, body2, (B0, sbar_scr[0], flux0)
         )
         out_ref[:, :] = 2.0 * jnp.pi * (flux + B_b * sb_b)
 
@@ -573,31 +625,40 @@ def _fpallas_batch(tabk, wn_out, mu, muw, wrows, T, drp, powers=False):
         cb //= 2
     w_pad = -(-W // tile) * tile
     c_pad = -(-C // cb) * cb
+    # pad layers so (Lp - 1) divides the chunk: T edge-replicated,
+    # dr = 0, zero table/weight rows — exact no-ops in the recurrence
+    # (tau and S freeze; flux differences vanish; the boundary term
+    # uses the replicated bottom T)
+    U = _CHUNK
+    Lp = 1 + U * (-(-(L - 1) // U))
     tab_t = jnp.pad(jnp.transpose(tabk.astype(f32), (0, 2, 1, 3)),
-                    ((0, 0), (0, 0), (0, 0), (0, w_pad - W)))  # [K, L, R, Wp]
+                    ((0, 0), (0, Lp - L), (0, 0), (0, w_pad - W)))
     wn_p = jnp.pad(wn_out.astype(f32), (0, w_pad - W), constant_values=1.0)
     wnm_t = jnp.pad(jnp.transpose(wrows.astype(f32), (1, 0, 2)),
-                    ((0, 0), (0, c_pad - C), (0, 0)))          # [L, Cp, R]
-    aux = jnp.stack([T.astype(f32), drp.astype(f32)], axis=-1)
+                    ((0, Lp - L), (0, c_pad - C), (0, 0)))     # [Lp, Cp, R]
+    T_p = jnp.concatenate(
+        [T.astype(f32)] + [T.astype(f32)[:, -1:]] * (Lp - L), axis=1)
+    drp_p = jnp.pad(drp.astype(f32), ((0, 0), (0, Lp - L)))
+    aux = jnp.stack([T_p, drp_p], axis=-1)
     aux_t = jnp.pad(jnp.transpose(aux, (1, 0, 2)),
                     ((0, 0), (0, c_pad - C), (0, 0)),
-                    constant_values=1000.0)                    # [L, Cp, 2]
+                    constant_values=1000.0)                    # [Lp, Cp, 2]
 
     grid = (w_pad // tile, c_pad // cb, K)
     out = pl.pallas_call(
-        functools.partial(_fkernel, L=L, nmu=nmu, K=K, powers=powers),
+        functools.partial(_fkernel, L=Lp, nmu=nmu, K=K, powers=powers),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, L, R, tile), lambda i, j, k: (k, 0, 0, i)),
-            pl.BlockSpec((L, cb, R), lambda i, j, k: (0, j, 0)),
-            pl.BlockSpec((L, cb, 2), lambda i, j, k: (0, j, 0)),
+            pl.BlockSpec((1, Lp, R, tile), lambda i, j, k: (k, 0, 0, i)),
+            pl.BlockSpec((Lp, cb, R), lambda i, j, k: (0, j, 0)),
+            pl.BlockSpec((Lp, cb, 2), lambda i, j, k: (0, j, 0)),
             pl.BlockSpec((1, tile), lambda i, j, k: (0, i)),
             pl.BlockSpec((1, nmu), lambda i, j, k: (0, 0)),
             pl.BlockSpec((1, nmu), lambda i, j, k: (0, 0)),
         ],
         out_specs=pl.BlockSpec((cb, tile), lambda i, j, k: (j, i)),
         out_shape=jax.ShapeDtypeStruct((c_pad, w_pad), f32),
-        scratch_shapes=[pltpu.VMEM((L, cb, tile), f32)],
+        scratch_shapes=[pltpu.VMEM((Lp, cb, tile), f32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
@@ -674,24 +735,30 @@ def _tsingle_folded(tabk, wrows, G, wgt):
 
 
 def _ftkernel(tab_ref, wnm_ref, g_ref, wgt_ref, out_ref, ext_scr,
-              abar_scr, *, L, CB, K):
+              abar_scr, *, L, CB, K, U=_CHUNK):
     """Folded transit program: layer-streamed extinction for sub-sample
-    k into scratch, per-chain slant matmuls, absorption accumulated
-    into ``abar_scr`` across the K grid steps, annulus quadrature at
-    k == K-1."""
+    k into scratch (U layers per chunk), per-chain slant matmuls,
+    absorption accumulated into ``abar_scr`` across the K grid steps,
+    annulus quadrature at k == K-1."""
     k = pl.program_id(2)
     invK = 1.0 / K
 
-    def fill(layer, _):
-        ext_scr[layer] = jax.lax.dot_general(
-            wnm_ref[layer], tab_ref[0, layer],
-            (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+    def fill(c, _):
+        base = c * U
+        wnm_c = wnm_ref[pl.ds(base, U)]
+        tab_c = tab_ref[0, pl.ds(base, U)]
+        ext_scr[pl.ds(base, U)] = jnp.stack([
+            jax.lax.dot_general(
+                wnm_c[u], tab_c[u],
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            for u in range(U)
+        ])
         return 0
 
-    jax.lax.fori_loop(0, L, fill, 0)
+    jax.lax.fori_loop(0, L // U, fill, 0)
 
     for c in range(CB):
         tau = jax.lax.dot_general(
@@ -739,27 +806,30 @@ def _ftpallas_batch(tabk, wrows, G, wgt):
         cb //= 2
     w_pad = -(-W // tile) * tile
     c_pad = -(-C // cb) * cb
+    U = _CHUNK
+    Lp = U * (-(-L // U))
     tab_t = jnp.pad(jnp.transpose(tabk.astype(f32), (0, 2, 1, 3)),
-                    ((0, 0), (0, 0), (0, 0), (0, w_pad - W)))  # [K, L, R, Wp]
+                    ((0, 0), (0, Lp - L), (0, 0), (0, w_pad - W)))
     wnm_t = jnp.pad(jnp.transpose(wrows.astype(f32), (1, 0, 2)),
-                    ((0, 0), (0, c_pad - C), (0, 0)))
-    g_p = jnp.pad(G.astype(f32), ((0, c_pad - C), (0, 0), (0, 0)))
-    wgt_p = jnp.pad(wgt.astype(f32), ((0, c_pad - C), (0, 0)))
+                    ((0, Lp - L), (0, c_pad - C), (0, 0)))
+    g_p = jnp.pad(G.astype(f32),
+                  ((0, c_pad - C), (0, Lp - L), (0, Lp - L)))
+    wgt_p = jnp.pad(wgt.astype(f32), ((0, c_pad - C), (0, Lp - L)))
 
     grid = (w_pad // tile, c_pad // cb, K)
     out = pl.pallas_call(
-        functools.partial(_ftkernel, L=L, CB=cb, K=K),
+        functools.partial(_ftkernel, L=Lp, CB=cb, K=K, U=U),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, L, R, tile), lambda i, j, k: (k, 0, 0, i)),
-            pl.BlockSpec((L, cb, R), lambda i, j, k: (0, j, 0)),
-            pl.BlockSpec((cb, L, L), lambda i, j, k: (j, 0, 0)),
-            pl.BlockSpec((cb, L), lambda i, j, k: (j, 0)),
+            pl.BlockSpec((1, Lp, R, tile), lambda i, j, k: (k, 0, 0, i)),
+            pl.BlockSpec((Lp, cb, R), lambda i, j, k: (0, j, 0)),
+            pl.BlockSpec((cb, Lp, Lp), lambda i, j, k: (j, 0, 0)),
+            pl.BlockSpec((cb, Lp), lambda i, j, k: (j, 0)),
         ],
         out_specs=pl.BlockSpec((cb, tile), lambda i, j, k: (j, i)),
         out_shape=jax.ShapeDtypeStruct((c_pad, w_pad), f32),
-        scratch_shapes=[pltpu.VMEM((L, cb, tile), f32),
-                        pltpu.VMEM((L, cb, tile), f32)],
+        scratch_shapes=[pltpu.VMEM((Lp, cb, tile), f32),
+                        pltpu.VMEM((Lp, cb, tile), f32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),

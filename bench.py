@@ -36,15 +36,31 @@ VPU_EFF_FLOPS = 5.0e12
 
 
 def _time_batched(fb, params, nrep, jax):
+    """Serialized (chained-dependency) batch timing.
+
+    Each iteration's input depends on the previous iteration's output
+    and the loop ends with a HOST read of the result — this measures
+    what an MCMC step actually costs (step t+1 depends on step t).
+    Timing N independent dispatches and blocking once at the end
+    measures pipelined throughput instead, and through the remote-TPU
+    tunnel `block_until_ready` was observed to intermittently not wait
+    at all (0.04 ms/batch readings): rounds 1-2 reported such numbers.
+    """
+    import jax.numpy as jnp
+
     out = fb(params)
-    jax.block_until_ready(out)
     assert bool(np.all(np.isfinite(np.asarray(out[0])))), "non-finite flux"
     assert bool(np.all(np.asarray(out[2]))), "invalid forward evals"
-    t0 = time.time()
-    for _ in range(nrep):
-        out = fb(params)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / nrep
+    best = np.inf
+    for _round in range(3):   # round 1 absorbs remote warmup transients
+        p = params
+        t0 = time.time()
+        for _ in range(nrep):
+            out = fb(p)
+            p = params + 0.0 * jnp.sum(out[0])   # serialize the chain
+        assert np.isfinite(float(jnp.sum(out[0])))  # host read = barrier
+        best = min(best, (time.time() - t0) / nrep)
+    return best
 
 
 def main():
@@ -119,6 +135,22 @@ def main():
           file=sys.stderr)
     print(f"# {evals_per_s*NWAVE*NLAYER:.3e} wn-gridpoints/s (eclipse); "
           f"{nchain/dt_t*NWAVE*NLAYER:.3e} (transit)", file=sys.stderr)
+
+    # --- folded rtosamp=32 (publication accuracy, <1e-4 band flux) ---
+    # opt-in: BENCH_FOLD=1 (the K=32 fine table build adds ~5 min on a
+    # cold cache); numbers recorded in docs/PERFORMANCE.md
+    if os.environ.get("BENCH_FOLD") and on_tpu:
+        for adapt, quad in ((0.02, "expsum"), (None, "raygrid")):
+            fmf = ge._build_problem(
+                nlayer=NLAYER, nwave=NWAVE, nlines=nlines, cache=True,
+                fold=32, fold_adapt=adapt, quadrature=quad)
+            frac = (len(fmf._idx_fine) / NWAVE
+                    if getattr(fmf, "_idx_fine", None) is not None else 1.0)
+            dt_f = _time_batched(fmf.batched(), params, nrep, jax)
+            print(f"# folded rtosamp=32 adapt={adapt} {quad} "
+                  f"(fine frac {frac:.2f}): batch {nchain} in "
+                  f"{dt_f*1e3:.2f} ms; {nchain/dt_f:.0f} evals/s",
+                  file=sys.stderr)
 
     print(json.dumps({
         "metric": "likelihood_evals_per_s",
