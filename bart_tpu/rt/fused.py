@@ -761,10 +761,15 @@ def _ftkernel(tab_ref, wnm_ref, g_ref, wgt_ref, out_ref, ext_scr,
     jax.lax.fori_loop(0, L // U, fill, 0)
 
     for c in range(CB):
+        # Folded mode runs K slant matmuls per chain — the kernel's
+        # whole cost (measured ~100% of 89.6 ms at K=32 demo scale).
+        # HIGH (3-pass bf16) halves it vs HIGHEST (6-pass) at ~1e-6
+        # relative tau error — two orders below the rtosamp=32 budget
+        # (the K=1 kernels keep HIGHEST).
         tau = jax.lax.dot_general(
             g_ref[c], ext_scr[:, c, :],
             (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32,
         )
         a = (1.0 - jnp.exp(-jnp.minimum(tau, TAU_CLAMP))) * invK

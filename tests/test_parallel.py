@@ -222,3 +222,63 @@ def test_multihost_two_process_smoke(tmp_path):
 
     s1, s2 = np.load(out1), np.load(out2)
     np.testing.assert_allclose(s2, s1, rtol=1e-9)
+
+
+def test_sharded_folded_matches_unsharded():
+    """Folded-rtosamp tables (sigmak/frowsk) shard along the output-wn
+    axis and reproduce unsharded results exactly; the adaptive split
+    is rejected with a pointer to rtadapt=False."""
+    from bart_tpu.io.kurucz import blackbody_star
+    from bart_tpu.io.tep import PlanetSystem
+    from bart_tpu.linelist.tli import synthetic_linelist
+    from bart_tpu.obs.bands import build_band_matrix
+    from bart_tpu.opacity.grid import build_opacity_grid
+    from bart_tpu.rt.forward import ForwardConfig, ForwardModel
+    from bart_tpu.utils.grids import (
+        folded_fine_grid, pressure_grid, wavenumber_grid,
+    )
+
+    K = 4
+    pressure = pressure_grid(14, 1e-5, 100.0)
+    wn_out = wavenumber_grid(wnlow=2500.0, wnhigh=2549.0, wndelt=1.0)
+    wn_fine = folded_fine_grid(wn_out, K)
+    system = PlanetSystem(6075.0, 7.97e8, 4.37, 7.05e9, 9.44e7, 1.32e27)
+    lines = synthetic_linelist("CH4", 2480.0, 2570.0, 150, seed=5)
+    grid = build_opacity_grid(
+        {"CH4": lines}, wn_fine, np.arange(400.0, 3001.0, 650.0),
+        pressure, dtype=jnp.float64,
+    )
+    filters = [(np.linspace(c - 5, c + 5, 21), np.ones(21))
+               for c in (2510.0, 2525.0, 2540.0)]
+    sf, _ = blackbody_star(wn_out, system.t_star)
+    bands = build_band_matrix(wn_out, filters, star_flux=sf,
+                              rprs=system.rprs)
+    kw = dict(
+        wn_grid=wn_out, pressure=pressure, species=["H2", "He", "CH4"],
+        base_abundances=np.tile([0.85, 0.149, 1e-3], (14, 1)),
+        opacity=grid, system=system, bands=bands, dtype=jnp.float64,
+    )
+    cfg = ForwardConfig(solution="eclipse", pt_type="line",
+                        molfit=("CH4",))
+    fm = ForwardModel(cfg, fold_osamp=K, fold_adapt=None, **kw)
+    p = jnp.asarray(DEMO_PARAMS, fm.dtype)
+    ref_bf, ref_spec, _ = fm.jitted()(p)
+
+    mesh = make_mesh(n_chain=1, n_wn=8)
+    shard_model(fm, mesh)
+    bf, spec, valid = fm.jitted()(p)
+    assert bool(valid)
+    np.testing.assert_allclose(np.asarray(bf), np.asarray(ref_bf),
+                               rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(spec)[: fm.n_wn_orig], np.asarray(ref_spec),
+        rtol=1e-12)
+    sh = fm.tables["sigmak"].sharding
+    assert isinstance(sh, NamedSharding)
+    assert sh.spec == P(None, None, None, "wn")
+
+    # adaptive split cannot shard contiguously -> explicit error
+    fm_ad = ForwardModel(cfg, fold_osamp=K, fold_adapt=0.02, **kw)
+    if fm_ad._idx_fine is not None:
+        with pytest.raises(ValueError, match="rtadapt"):
+            shard_model(fm_ad, mesh)
