@@ -4,9 +4,11 @@
 Runs the demo-CH4-class forward model (100 layers, 2501 output
 wavenumbers, 30k lines, opacity-grid hot path) batched over a chain
 ensemble — the workload of the reference's MCMC hot loop (SURVEY.md
-section 3.2) — in BOTH geometries (eclipse fused kernel and transit
-fused kernel), plus roofline accounting for the primary (eclipse)
-number: analytic FLOP/byte models vs v5e peaks.
+section 3.2).  The primary metric (eclipse geometry) is measured and
+its JSON line printed FIRST; everything else (transit geometry,
+roofline accounting, folded-rtosamp modes) is a deadline-guarded
+extra on stderr, so a slow remote-tunnel day degrades the extras,
+never the scoreboard (BENCH_r03 lesson: rc=124, parsed=null).
 
 Baseline: the reference achieves O(3-10) likelihood evals/s/core on
 CPU (BASELINE.md, "Implied likelihood throughput"); vs_baseline is
@@ -15,6 +17,10 @@ measured against the optimistic end (10 evals/s).
 Prints ONE JSON line (primary metric; extra measurements on stderr):
   {"metric": "likelihood_evals_per_s", "value": N, "unit": "evals/s/chip",
    "vs_baseline": N/10}
+
+Budget: BENCH_BUDGET_S (default 420 s).  The primary measurement is
+never skipped; timing rounds shrink 3 -> 1 when the cold path (table
+build + compile + tunnel warmup) has eaten the budget.
 """
 
 import json
@@ -34,8 +40,15 @@ NLAYER, NWAVE = 100, 2501
 HBM_PEAK_GBS = 819.0
 VPU_EFF_FLOPS = 5.0e12
 
+T_START = time.time()
+DEADLINE = T_START + float(os.environ.get("BENCH_BUDGET_S", "420"))
 
-def _time_batched(fb, params, nrep, jax):
+
+def _left():
+    return DEADLINE - time.time()
+
+
+def _time_batched(fb, params, nrep, jax, rounds=3):
     """Serialized (chained-dependency) batch timing.
 
     Each iteration's input depends on the previous iteration's output
@@ -52,7 +65,7 @@ def _time_batched(fb, params, nrep, jax):
     assert bool(np.all(np.isfinite(np.asarray(out[0])))), "non-finite flux"
     assert bool(np.all(np.asarray(out[2]))), "invalid forward evals"
     best = np.inf
-    for _round in range(3):   # round 1 absorbs remote warmup transients
+    for _round in range(rounds):  # round 1 absorbs remote warmup transients
         p = params
         t0 = time.time()
         for _ in range(nrep):
@@ -61,6 +74,84 @@ def _time_batched(fb, params, nrep, jax):
         assert np.isfinite(float(jnp.sum(out[0])))  # host read = barrier
         best = min(best, (time.time() - t0) / nrep)
     return best
+
+
+def _extras(ge, jax, fm, params, nchain, nlines, nrep, dt, on_tpu):
+    """Secondary measurements: transit geometry, roofline, folded
+    modes.  Runs after the primary JSON is already out; every stage is
+    deadline-guarded and all output goes to stderr."""
+    import jax.numpy as jnp
+
+    evals_per_s = nchain / dt
+
+    if _left() < 45:
+        print(f"# extras skipped: {_left():.0f}s left in budget",
+              file=sys.stderr)
+        return
+    # --- transit geometry on the same (cached) opacity grid ---
+    fmt = ge._build_problem(nlayer=NLAYER, nwave=NWAVE, nlines=nlines,
+                            cache=True, solution="transit")
+    tparams = jnp.asarray(
+        np.concatenate(
+            [np.asarray(params)[:, :5],
+             np.full((nchain, 1), fmt.r0_km),
+             np.asarray(params)[:, 5:]], axis=1),
+        fmt.dtype,
+    )
+    dt_t = _time_batched(fmt.batched(), tparams, nrep, jax,
+                         rounds=3 if _left() > 90 else 1)
+    print(f"# transit: batch {nchain} in {dt_t*1e3:.2f} ms; "
+          f"{nchain/dt_t:.0f} evals/s", file=sys.stderr)
+
+    # --- roofline accounting (eclipse primary) ---
+    gridpoints = nchain * NWAVE * NLAYER
+    nrows = int(fm.sigma.shape[0] * fm.sigma.shape[1]) + 4  # mol*nT + aux
+    mxu_flops = 2.0 * gridpoints * nrows          # rows-contraction
+    # per (chain, layer, wn): Planck exp + K=5 mu-attenuation exps +
+    # trapezoid/accumulate arithmetic ~ 6 exp x ~24 flop + ~30 flop
+    vpu_flops = gridpoints * (6 * 24 + 30)
+    # HBM lower bound: table re-streamed per chain block (cb=128) +
+    # weight rows + band output
+    cb = 128
+    table_bytes = float(np.prod(fm.sigma.shape)) * 4 * (nchain / cb)
+    io_bytes = table_bytes + nchain * NLAYER * nrows * 4 + nchain * NWAVE * 4
+    print(f"# roofline (eclipse, per {nchain}-chain batch): "
+          f"MXU {mxu_flops/dt/1e12:.2f} Tflop/s "
+          f"({100*mxu_flops/dt/1.97e14:.1f}% of bf16 peak), "
+          f"VPU ~{vpu_flops/dt/1e12:.2f} Tflop/s "
+          f"({100*vpu_flops/dt/VPU_EFF_FLOPS:.0f}% of measured "
+          f"transcendental ceiling), "
+          f"HBM >= {io_bytes/dt/1e9:.0f} GB/s "
+          f"({100*io_bytes/dt/1e9/HBM_PEAK_GBS:.0f}% of peak)",
+          file=sys.stderr)
+    print(f"# {evals_per_s*NWAVE*NLAYER:.3e} wn-gridpoints/s (eclipse); "
+          f"{nchain/dt_t*NWAVE*NLAYER:.3e} (transit)", file=sys.stderr)
+
+    # --- folded rtosamp=32 (publication accuracy, <1e-4 band flux) ---
+    # opt-in: BENCH_FOLD=1 (the K=32 fine table build adds ~5 min on a
+    # cold cache); numbers recorded in docs/PERFORMANCE.md
+    if os.environ.get("BENCH_FOLD") and on_tpu:
+        for geom, quad, adapt in (("eclipse", "expsum", 0.02),
+                                  ("transit", "raygrid", 0.02)):
+            if _left() < 60:
+                print("# folded extras skipped: budget", file=sys.stderr)
+                break
+            fmf = ge._build_problem(
+                nlayer=NLAYER, nwave=NWAVE, nlines=nlines, cache=True,
+                fold=32, fold_adapt=adapt, quadrature=quad, solution=geom)
+            frac = (len(fmf._idx_fine) / NWAVE
+                    if getattr(fmf, "_idx_fine", None) is not None else 1.0)
+            pf = params if geom == "eclipse" else jnp.asarray(
+                np.concatenate([np.asarray(params)[:, :5],
+                                np.full((nchain, 1), fmf.r0_km),
+                                np.asarray(params)[:, 5:]], axis=1),
+                fmf.dtype)
+            dt_f = _time_batched(fmf.batched(), pf, nrep, jax,
+                                 rounds=3 if _left() > 120 else 1)
+            print(f"# folded rtosamp=32 {geom} adapt={adapt} {quad} "
+                  f"(fine frac {frac:.2f}): batch {nchain} in "
+                  f"{dt_f*1e3:.2f} ms; {nchain/dt_f:.0f} evals/s",
+                  file=sys.stderr)
 
 
 def main():
@@ -93,71 +184,27 @@ def main():
     )
 
     t0 = time.time()
-    dt = _time_batched(fm.batched(), params, nrep, jax)
-    print(f"# eclipse: compile+first {time.time()-t0-nrep*dt:.1f}s; "
-          f"batch {nchain} in {dt*1e3:.2f} ms", file=sys.stderr)
+    rounds = 3 if _left() > 60 else 1
+    dt = _time_batched(fm.batched(), params, nrep, jax, rounds=rounds)
+    print(f"# eclipse: compile+first {time.time()-t0-rounds*nrep*dt:.1f}s; "
+          f"batch {nchain} in {dt*1e3:.2f} ms ({rounds} timing rounds)",
+          file=sys.stderr)
     evals_per_s = nchain / dt
 
-    # --- transit geometry on the same (cached) opacity grid ---
-    fmt = ge._build_problem(nlayer=NLAYER, nwave=NWAVE, nlines=nlines,
-                            cache=True, solution="transit")
-    tparams = jnp.asarray(
-        np.concatenate(
-            [np.asarray(params)[:, :5],
-             np.full((nchain, 1), fmt.r0_km),
-             np.asarray(params)[:, 5:]], axis=1),
-        fmt.dtype,
-    )
-    dt_t = _time_batched(fmt.batched(), tparams, nrep, jax)
-    print(f"# transit: batch {nchain} in {dt_t*1e3:.2f} ms; "
-          f"{nchain/dt_t:.0f} evals/s", file=sys.stderr)
-
-    # --- roofline accounting (eclipse primary) ---
-    gridpoints = nchain * NWAVE * NLAYER
-    nrows = int(fm.sigma.shape[0] * fm.sigma.shape[1]) + 4  # mol*nT + aux
-    mxu_flops = 2.0 * gridpoints * nrows          # rows-contraction
-    # per (chain, layer, wn): Planck exp + K=5 mu-attenuation exps +
-    # trapezoid/accumulate arithmetic ~ 6 exp x ~24 flop + ~30 flop
-    vpu_flops = gridpoints * (6 * 24 + 30)
-    # HBM lower bound: table re-streamed per chain block (cb=128) +
-    # weight rows + band output
-    cb = 128
-    table_bytes = float(np.prod(fm.sigma.shape)) * 4 * (nchain / cb)
-    io_bytes = table_bytes + nchain * NLAYER * nrows * 4 + nchain * NWAVE * 4
-    print(f"# roofline (eclipse, per {nchain}-chain batch): "
-          f"MXU {mxu_flops/dt/1e12:.2f} Tflop/s "
-          f"({100*mxu_flops/dt/1.97e14:.1f}% of bf16 peak), "
-          f"VPU ~{vpu_flops/dt/1e12:.2f} Tflop/s "
-          f"({100*vpu_flops/dt/VPU_EFF_FLOPS:.0f}% of measured "
-          f"transcendental ceiling), "
-          f"HBM >= {io_bytes/dt/1e9:.0f} GB/s "
-          f"({100*io_bytes/dt/1e9/HBM_PEAK_GBS:.0f}% of peak)",
-          file=sys.stderr)
-    print(f"# {evals_per_s*NWAVE*NLAYER:.3e} wn-gridpoints/s (eclipse); "
-          f"{nchain/dt_t*NWAVE*NLAYER:.3e} (transit)", file=sys.stderr)
-
-    # --- folded rtosamp=32 (publication accuracy, <1e-4 band flux) ---
-    # opt-in: BENCH_FOLD=1 (the K=32 fine table build adds ~5 min on a
-    # cold cache); numbers recorded in docs/PERFORMANCE.md
-    if os.environ.get("BENCH_FOLD") and on_tpu:
-        for adapt, quad in ((0.02, "expsum"), (None, "raygrid")):
-            fmf = ge._build_problem(
-                nlayer=NLAYER, nwave=NWAVE, nlines=nlines, cache=True,
-                fold=32, fold_adapt=adapt, quadrature=quad)
-            frac = (len(fmf._idx_fine) / NWAVE
-                    if getattr(fmf, "_idx_fine", None) is not None else 1.0)
-            dt_f = _time_batched(fmf.batched(), params, nrep, jax)
-            print(f"# folded rtosamp=32 adapt={adapt} {quad} "
-                  f"(fine frac {frac:.2f}): batch {nchain} in "
-                  f"{dt_f*1e3:.2f} ms; {nchain/dt_f:.0f} evals/s",
-                  file=sys.stderr)
-
+    # PRIMARY METRIC — printed before any secondary measurement so a
+    # budget overrun in the extras can never blank the scoreboard.
     print(json.dumps({
         "metric": "likelihood_evals_per_s",
         "value": round(evals_per_s, 1),
         "unit": "evals/s/chip",
         "vs_baseline": round(evals_per_s / 10.0, 1),
-    }))
+    }), flush=True)
+
+    try:
+        _extras(ge, jax, fm, params, nchain, nlines, nrep, dt, on_tpu)
+    except Exception as e:  # extras must never fail the bench
+        print(f"# extras failed (primary already reported): {e!r}",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
