@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from bart_tpu.inference.gr import gelman_rubin
+from bart_tpu.inference.gr import gelman_rubin, split_rhat_rank
 from bart_tpu.inference.likelihood import Likelihood, ParamSpace
 from bart_tpu.inference.samplers import EnsembleSampler, SamplerState
 
@@ -81,7 +81,7 @@ class _SampleStore:
 
 
 def save_checkpoint(path: str, state: SamplerState, done_iters: int,
-                    key) -> None:
+                    key, fgamma: float = 1.0) -> None:
     """Persist the sampler state mid-run (capability the reference
     lacks: its chains restart from zero, SURVEY.md section 5).  The
     posterior/model history lives in memmap sidecars (``<path>.pos.dat``
@@ -89,18 +89,20 @@ def save_checkpoint(path: str, state: SamplerState, done_iters: int,
     arrays = {f"state/{k}": np.asarray(v) for k, v in state._asdict().items()}
     arrays["done_iters"] = np.asarray(done_iters)
     arrays["key"] = jax.random.key_data(key)
+    arrays["fgamma"] = np.asarray(fgamma)
     np.savez(path, **arrays)
 
 
 def load_checkpoint(path: str):
-    """-> (state, done_iters, key)."""
+    """-> (state, done_iters, key, fgamma)."""
     z = np.load(path)
     state = SamplerState(**{
         k.split("/", 1)[1]: jnp.asarray(z[k])
         for k in z.files if k.startswith("state/")
     })
     key = jax.random.wrap_key_data(jnp.asarray(z["key"]))
-    return state, int(z["done_iters"]), key
+    fgamma = float(z["fgamma"]) if "fgamma" in z.files else 1.0
+    return state, int(z["done_iters"]), key, fgamma
 
 
 @dataclasses.dataclass
@@ -116,6 +118,8 @@ class RetrievalResult:
     space: ParamSpace
     niter_total: int
     converged: bool
+    psrf_rank: np.ndarray | None = None  # rank-normalized split-R-hat
+    fgamma_final: float = 1.0  # DE gamma scale after burn-in adaptation
 
 
 def least_squares_prefit(like: Likelihood, space: ParamSpace):
@@ -212,9 +216,11 @@ def run_mcmc(
     key, k0 = jax.random.split(key)
 
     done0 = 0
+    fg = float(fgamma)
     if resume and checkpoint and os.path.isfile(checkpoint):
-        state, done0, key = load_checkpoint(checkpoint)
-        log(f"resumed from {checkpoint} at iteration {done0}")
+        state, done0, key, fg = load_checkpoint(checkpoint)
+        log(f"resumed from {checkpoint} at iteration {done0} "
+            f"(fgamma {fg:.3f})")
     else:
         state = sampler.init_state(k0, init_free, dtype=dtype)
 
@@ -233,28 +239,58 @@ def run_mcmc(
         if savemodel else None
     )
     psrf = np.full(space.nfree, np.inf)
+    psrf_rank = np.full(space.nfree, np.inf)
     converged = False
     done_iters = done0
+    # Burn-in gamma adaptation (the reference's MC3 tunes its DE gamma
+    # via fgamma; here it is automatic): multiplicative feedback with a
+    # DEADBAND — gamma stays at the canonical 2.38/sqrt(2d) scale
+    # (which mixes fastest) unless the block acceptance is pathological
+    # (< 0.10: steps far too big for the posterior's conditioning;
+    # > 0.45: steps too timid).  Frozen at the end of burn-in so the
+    # post-burn-in chain is a fixed-kernel Markov chain.
+    adapt_gamma = walk in ("snooker", "demc")
+    acc_lo, acc_hi = 0.10, 0.45
+    prev_nacc = float(np.asarray(state.naccept).sum())
     for ib in range(nblocks):
         key, kb = jax.random.split(key)
-        state, pb, lb, mb = sampler.run_block(state, kb, block)
+        state, pb, lb, mb = sampler.run_block(state, kb, block, fgamma=fg)
         done_iters += block
         pos_store.append(np.asarray(pb))        # [nsteps, nchain, nfree]
         if model_store is not None:
             model_store.append(np.asarray(mb))
 
+        if adapt_gamma and done_iters <= burnin:
+            nacc = float(np.asarray(state.naccept).sum())
+            block_acc = (nacc - prev_nacc) / (block * nchains)
+            prev_nacc = nacc
+            if block_acc < acc_lo:
+                fg_new = fg * float(np.exp(1.5 * (block_acc - acc_lo)))
+            elif block_acc > acc_hi:
+                fg_new = fg * float(np.exp(1.0 * (block_acc - acc_hi)))
+            else:
+                fg_new = fg
+            fg_new = float(np.clip(fg_new, 0.1, 2.0))
+            if done_iters + block > burnin:
+                log(f"burn-in gamma adaptation frozen: fgamma {fg_new:.3f}"
+                    f" (block accept {block_acc:.3f})")
+            fg = fg_new
+
         if checkpoint and (ib + 1) % checkpoint_every == 0:
             pos_store.flush()
             if model_store is not None:
                 model_store.flush()
-            save_checkpoint(checkpoint, state, done_iters, key)
+            save_checkpoint(checkpoint, state, done_iters, key, fg)
 
         if grtest and done_iters > burnin and (ib + 1) % 10 == 0:
-            chains = pos_store.iterations(start=burnin)
-            psrf = gelman_rubin(np.asarray(chains).transpose(1, 0, 2))
+            chains = np.asarray(
+                pos_store.iterations(start=burnin)).transpose(1, 0, 2)
+            psrf = gelman_rubin(chains)
+            psrf_rank = split_rhat_rank(chains)
             log(
                 f"iter {done_iters*nchains:8d}/{numit}  "
                 f"GR: {np.array2string(psrf, precision=4)}  "
+                f"split-Rhat: {np.array2string(psrf_rank, precision=4)}  "
                 f"accept: {float(state.naccept.sum())/ (done_iters*nchains):.3f}"
             )
             if grexit and np.all(psrf < grbreak):
@@ -268,8 +304,10 @@ def run_mcmc(
     # modelper splits count raw iterations (BART.py:208-216).
     models = model_store.samples() if model_store is not None else None
     if grtest:
-        psrf = gelman_rubin(
-            np.asarray(pos_store.iterations(start=burnin)).transpose(1, 0, 2))
+        chains = np.asarray(
+            pos_store.iterations(start=burnin)).transpose(1, 0, 2)
+        psrf = gelman_rubin(chains)
+        psrf_rank = split_rhat_rank(chains)
         converged = converged or bool(np.all(psrf < grbreak))
 
     bestp = np.asarray(state.best_pos)
@@ -297,7 +335,7 @@ def run_mcmc(
         pos_store.flush()
         if model_store is not None:
             model_store.flush()
-        save_checkpoint(checkpoint, state, done_iters, key)
+        save_checkpoint(checkpoint, state, done_iters, key, fg)
     if savemodel and models is not None:
         np.save(savemodel, models)
         if modelper > 0:
@@ -346,4 +384,6 @@ def run_mcmc(
         space=space,
         niter_total=total,
         converged=converged,
+        psrf_rank=psrf_rank,
+        fgamma_final=fg,
     )

@@ -39,6 +39,27 @@ import jax.numpy as jnp
 __all__ = ["SamplerState", "EnsembleSampler"]
 
 
+def _reflect(x, lo, hi):
+    """Fold proposals into [lo, hi] by reflection at the boundaries.
+
+    For a SYMMETRIC step kernel (MRW Gaussian, DE difference vectors)
+    the reflection tiling of the interval preserves proposal symmetry
+    q(y|x) = q(x|y), so Metropolis acceptance is unchanged — but
+    proposals that would land outside the prior box (auto-rejected as
+    loglike = -inf) are mapped to valid points instead.  On wide
+    prior-plateau directions this is the difference between a few
+    percent and a healthy acceptance rate: DE difference vectors span
+    the full prior there, so a large fraction of raw proposals leave
+    the box (measured on the WASP-12b regression: accept 0.046 without
+    reflection, with every rejection wasting a full forward-model
+    evaluation).
+    """
+    span = hi - lo
+    y = jnp.mod(x - lo, 2.0 * span)
+    y = jnp.where(y > span, 2.0 * span - y, y)
+    return jnp.where(span > 0, lo + y, x)
+
+
 class SamplerState(NamedTuple):
     """Device-resident ensemble state (a pytree; checkpointable)."""
 
@@ -78,7 +99,11 @@ class EnsembleSampler:
 
     def __post_init__(self):
         if self.nz == 0:
-            self.nz = max(10 * self.nfree, 2 * self.nchains, 100)
+            # the archive must hold real HISTORY: at 10*nchains it spans
+            # >= 10 append epochs (z_thin iterations apart) — 2*nchains
+            # (rounds 1-3) degenerated to the last two epochs at large
+            # ensembles, collapsing snooker toward plain DEMC
+            self.nz = max(10 * self.nfree, 10 * self.nchains, 100)
         self._run_block = None
 
     def _eval(self, positions, tables):
@@ -129,16 +154,27 @@ class EnsembleSampler:
         )
 
     # ------------------------------------------------------------------
-    def _propose(self, key, state: SamplerState):
-        """One synchronous ensemble proposal -> (xnew, log_mh_corr)."""
+    def _propose(self, key, state: SamplerState, gamma_scale):
+        """One synchronous ensemble proposal -> (xnew, log_mh_corr).
+
+        ``gamma_scale`` scales the DE gamma (MC3's fgamma), passed as a
+        traced scalar so the retrieval driver can adapt it during
+        burn-in without recompiling the block."""
         n, d = self.nchains, self.nfree
         pos = state.positions
         dtype = pos.dtype
+        lo = hi = None
+        if self.pmin is not None and self.pmax is not None:
+            lo = jnp.asarray(self.pmin, dtype)
+            hi = jnp.asarray(self.pmax, dtype)
+
+        def fold(x):
+            return _reflect(x, lo, hi) if lo is not None else x
 
         if self.walk == "mrw":
             step = jnp.asarray(self.stepsize, dtype)
             noise = jax.random.normal(key, (n, d), dtype)
-            return pos + noise * step, jnp.zeros(n, dtype)
+            return fold(pos + noise * step), jnp.zeros(n, dtype)
 
         if self.walk == "unif":
             lo = jnp.asarray(self.pmin, dtype)
@@ -158,12 +194,12 @@ class EnsembleSampler:
             hi12 = jnp.maximum(jnp.arange(n), r1)
             r2 = jnp.where(r2 >= lo12, r2 + 1, r2)
             r2 = jnp.where(r2 >= hi12, r2 + 1, r2)
-            gamma = self.fgamma * 2.38 / jnp.sqrt(2.0 * d)
+            gamma = gamma_scale * 2.38 / jnp.sqrt(2.0 * d)
             jump = jax.random.uniform(k3, (n, 1), dtype) < self.gamma_jump_frac
             g = jnp.where(jump, 1.0, gamma)
             noise = self.eps * jax.random.normal(k4, (n, d), dtype)
             xnew = pos + g * (pos[r1] - pos[r2]) + noise
-            return xnew, jnp.zeros(n, dtype)
+            return fold(xnew), jnp.zeros(n, dtype)
 
         if self.walk == "snooker":
             keys = jax.random.split(key, 6)
@@ -172,9 +208,13 @@ class EnsembleSampler:
             z2 = jax.random.randint(keys[1], (n,), 0, nz_eff)
             z3 = jax.random.randint(keys[2], (n,), 0, nz_eff)
             Z = state.z_archive
-            gamma = self.fgamma * 2.38 / jnp.sqrt(2.0 * d)
+            gamma = gamma_scale * 2.38 / jnp.sqrt(2.0 * d)
             noise = self.eps * jax.random.normal(keys[3], (n, d), dtype)
-            x_par = pos + gamma * (Z[z1] - Z[z2]) + noise
+            # parallel-direction move: symmetric step kernel -> fold at
+            # the bounds; the snooker move keeps its |x'-z| Metropolis
+            # correction and is left unfolded (out-of-bounds snooker
+            # proposals reject as before)
+            x_par = fold(pos + gamma * (Z[z1] - Z[z2]) + noise)
 
             # snooker move along (x - z3):
             gs = jax.random.uniform(keys[4], (n, 1), dtype, 1.2, 2.2)
@@ -199,9 +239,12 @@ class EnsembleSampler:
 
     # ------------------------------------------------------------------
     def _step(self, state: SamplerState, key,
-              tables: dict | None = None) -> SamplerState:
+              tables: dict | None = None,
+              gamma_scale=None) -> SamplerState:
+        if gamma_scale is None:
+            gamma_scale = self.fgamma
         kp, ka = jax.random.split(key)
-        xnew, log_corr = self._propose(kp, state)
+        xnew, log_corr = self._propose(kp, state, gamma_scale)
         logl_new, models_new = self._eval(xnew, tables)
 
         log_ratio = logl_new - state.loglike + log_corr
@@ -241,24 +284,31 @@ class EnsembleSampler:
         )
 
     # ------------------------------------------------------------------
-    def run_block(self, state: SamplerState, key, nsteps: int):
+    def run_block(self, state: SamplerState, key, nsteps: int,
+                  fgamma: float | None = None):
         """Advance ``nsteps`` iterations in one device call.
 
-        Returns (state, positions_block[nsteps, nchain, nfree],
-        loglike_block[nsteps, nchain], models_block[nsteps, nchain, m]).
+        ``fgamma`` overrides the DE gamma scale for this block (traced
+        as a device scalar: adapting it between blocks does not
+        recompile).  Returns (state, positions_block[nsteps, nchain,
+        nfree], loglike_block[nsteps, nchain],
+        models_block[nsteps, nchain, m]).
         """
         if self._run_block is None:
             @functools.partial(jax.jit, static_argnames="nsteps")
-            def _run(state, key, tables, nsteps):
+            def _run(state, key, tables, gscale, nsteps):
                 keys = jax.random.split(key, nsteps)
 
                 def body(st, k):
-                    st = self._step(st, k, tables)
+                    st = self._step(st, k, tables, gscale)
                     return st, (st.positions, st.loglike, st.models)
 
                 return jax.lax.scan(body, state, keys)
 
             self._run_block = _run
+        gscale = jnp.asarray(
+            self.fgamma if fgamma is None else fgamma,
+            state.positions.dtype)
         state, (pb, lb, mb) = self._run_block(state, key, self._tables,
-                                              nsteps)
+                                              gscale, nsteps)
         return state, pb, lb, mb

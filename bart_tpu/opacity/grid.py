@@ -63,15 +63,19 @@ def fine_bin_mask(sigma_fine: np.ndarray, K: int, delta: float = 0.02,
         raise ValueError(f"fine wn axis {Wf} is not a multiple of K={K}")
     fine = np.zeros(W, bool)
     gmax = sig.max(axis=(1, 2, 3))                   # per molecule
-    for m in range(M):                               # bound peak memory
-        s = sig[m].reshape(nT, L, W, K)
-        sbar = s.mean(-1)
-        dev = np.abs(s - sbar[..., None]).max(-1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            rel = np.where(sbar > 0, dev / np.where(sbar > 0, sbar, 1.0),
-                           0.0)
-        negligible = sbar <= floor * gmax[m]
-        fine |= ((rel > delta) & ~negligible).any(axis=(0, 1))
+    # scan one (molecule, T-node) plane at a time: the deviation
+    # temporaries are then [L, W, K] (~tens of MB) instead of the full
+    # fine table x2 (several GB at K=32 production scale)
+    for m in range(M):
+        for it in range(nT):
+            s = sig[m, it].reshape(L, W, K)
+            sbar = s.mean(-1)
+            dev = np.abs(s - sbar[..., None]).max(-1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                rel = np.where(
+                    sbar > 0, dev / np.where(sbar > 0, sbar, 1.0), 0.0)
+            negligible = sbar <= floor * gmax[m]
+            fine |= ((rel > delta) & ~negligible).any(axis=0)
     return fine
 
 

@@ -218,7 +218,6 @@ class ForwardModel:
             self.n_t = len(opacity.t_grid)
             if self.fold > 1:
                 from bart_tpu.opacity.grid import fine_bin_mask
-                from bart_tpu.rt.fused import fold_table
 
                 M, nT, nL_, Wf = opacity.sigma.shape
                 Wout = len(wn_grid)
@@ -227,37 +226,48 @@ class ForwardModel:
                         f"folded rtosamp={self.fold}: opacity grid has "
                         f"{Wf} wn samples but the output grid needs "
                         f"{self.fold} x {Wout}")
-                sig = jnp.asarray(opacity.sigma, dtype)
-                sigbar = jnp.mean(
-                    sig.reshape(M, nT, nL_, Wout, self.fold), axis=-1)
+                # All folded-table prep runs on HOST numpy: holding the
+                # K-times-fine table on device 3x at once (sig + the
+                # fold_table transpose + sigbar) can exhaust HBM for a
+                # production K=32 multi-molecule grid before the
+                # retrieval even starts; only the final hot-loop arrays
+                # land on device.
+                np_dt = np.dtype(jnp.dtype(dtype).name)
+                sig = np.asarray(opacity.sigma).astype(np_dt, copy=False)
+                sigbar = sig.reshape(M, nT, nL_, Wout, self.fold).mean(-1)
                 # bin-averaged coarse table for the unfused/diagnostics
                 # path (plots, contribution functions — NOT the chi^2
                 # path, which runs the folded kernels)
-                t["sigma"] = sigbar
-                sigk = fold_table(sig.reshape(M * nT, nL_, Wf), self.fold)
+                t["sigma"] = jnp.asarray(sigbar)
+                # host-side fold_table (rt.fused.fold_table layout):
+                # [M*nT, L, Wf] -> [K, M*nT, L, Wout] sub-sample-major
+                sigk = np.transpose(
+                    sig.reshape(M * nT, nL_, Wout, self.fold),
+                    (3, 0, 1, 2))
                 # static adaptive resolution (opacity.grid.fine_bin_mask):
                 # only bins with in-bin line structure go through the
                 # K-sub-sample kernel; smooth bins use the bin-mean
                 # table at K=1 (error <= 0.27 delta^2, same 1e-4 class)
                 self._idx_fine = self._idx_smooth = None
                 if fold_adapt:
-                    mask = fine_bin_mask(
-                        np.asarray(opacity.sigma), self.fold,
-                        delta=float(fold_adapt))
+                    mask = fine_bin_mask(sig, self.fold,
+                                         delta=float(fold_adapt))
                     if mask.any() and not mask.all():
                         self._idx_fine = np.where(mask)[0]
                         self._idx_smooth = np.where(~mask)[0]
                 if self._idx_fine is not None:
-                    idx_f = jnp.asarray(self._idx_fine)
-                    idx_s = jnp.asarray(self._idx_smooth)
-                    t["sigmak"] = sigk[..., idx_f]
-                    t["sigmas"] = sigbar.reshape(
-                        M * nT, nL_, Wout)[..., idx_s]
-                    t["wn_f"] = jnp.asarray(wn_grid, dtype)[idx_f]
-                    t["wn_s"] = jnp.asarray(wn_grid, dtype)[idx_s]
+                    idx_f = self._idx_fine
+                    idx_s = self._idx_smooth
+                    t["sigmak"] = jnp.asarray(sigk[..., idx_f])
+                    t["sigmas"] = jnp.asarray(
+                        sigbar.reshape(M * nT, nL_, Wout)[..., idx_s])
+                    t["wn_f"] = jnp.asarray(wn_grid, dtype)[
+                        jnp.asarray(idx_f)]
+                    t["wn_s"] = jnp.asarray(wn_grid, dtype)[
+                        jnp.asarray(idx_s)]
                 else:
                     # sub-sample-major hot-loop layout [K, M*nT, L, Wout]
-                    t["sigmak"] = sigk
+                    t["sigmak"] = jnp.asarray(sigk)
             else:
                 t["sigma"] = opacity.sigma.astype(dtype)
             opac_species = opacity.species

@@ -242,12 +242,13 @@ def _pallas_batch(tab, wn, mu, muw, wrows, T, drp, powers=False):
     C = T.shape[0]
     nmu = int(mu.shape[0])
 
-    tile, cb = _pick_blocks(L, R, max(C, 8), max(W, 128))
-    w_pad = -(-W // tile) * tile
-    c_pad = -(-C // cb) * cb
-    # layer padding for the chunked loop (see _fpallas_batch)
+    # layer padding for the chunked loop: blocks/scratches are sized
+    # Lp, so the VMEM budget must use Lp, not L
     U = _CHUNK
     Lp = 1 + U * (-(-(L - 1) // U))
+    tile, cb = _pick_blocks(Lp, R, max(C, 8), max(W, 128))
+    w_pad = -(-W // tile) * tile
+    c_pad = -(-C // cb) * cb
     tab_t = jnp.pad(jnp.transpose(tab.astype(f32), (1, 0, 2)),
                     ((0, Lp - L), (0, 0), (0, w_pad - W)))     # [Lp, R, Wp]
     wn_p = jnp.pad(wn.astype(f32), (0, w_pad - W), constant_values=1.0)
@@ -367,26 +368,27 @@ def _tpallas_batch(tab, wrows, G, wgt):
     R, L, W = tab.shape
     C = wgt.shape[0]
 
-    tile, cb = _pick_blocks(L, R, max(C, 8), max(W, 128))
+    # layer padding for the chunked fill (zero rows: weight 0, no tau);
+    # blocks/scratches are sized Lp, so budget with Lp
+    U = _CHUNK
+    Lp = U * (-(-L // U))
+    tile, cb = _pick_blocks(Lp, R, max(C, 8), max(W, 128))
     # Larger chain blocks amortize the table-tile reload across more
     # chains (measured on v5e at demo scale: cb 8 -> 64 takes the
     # batch from 12.3 to 6.6 ms, bitwise-identical).  Budget VMEM for
-    # the double-buffered inputs + the [L, cb, tile] ext scratch +
-    # the [cb, L, L] geometry blocks.
+    # the double-buffered inputs + the [Lp, cb, tile] ext scratch +
+    # the [cb, Lp, Lp] geometry blocks.
     r32 = -(-R // 32) * 32
     cb = min(cb, 64)
     while cb > 8 and (
-        2 * L * r32 * tile * 4          # tab tile (double-buffered)
-        + 2 * cb * (L * r32 + L * L) * 4  # wrows + G blocks
-        + L * cb * tile * 4             # ext scratch
+        2 * Lp * r32 * tile * 4          # tab tile (double-buffered)
+        + 2 * cb * (Lp * r32 + Lp * Lp) * 4  # wrows + G blocks
+        + Lp * cb * tile * 4             # ext scratch
         > 2 * _VMEM_BUDGET              # 40 MB of the 96 MB limit
     ):
         cb //= 2
     w_pad = -(-W // tile) * tile
     c_pad = -(-C // cb) * cb
-    # layer padding for the chunked fill (zero rows: weight 0, no tau)
-    U = _CHUNK
-    Lp = U * (-(-L // U))
     tab_t = jnp.pad(jnp.transpose(tab.astype(f32), (1, 0, 2)),
                     ((0, Lp - L), (0, 0), (0, w_pad - W)))     # [Lp, R, Wp]
     wnm_t = jnp.pad(jnp.transpose(wrows.astype(f32), (1, 0, 2)),
@@ -615,22 +617,23 @@ def _fpallas_batch(tabk, wn_out, mu, muw, wrows, T, drp, powers=False):
     C = T.shape[0]
     nmu = int(mu.shape[0])
 
-    tile, cb = _pick_blocks(L, R, max(C, 8), max(W, 128))
-    # the sbar scratch [L, cb, tile] joins the VMEM bill
+    # pad layers so (Lp - 1) divides the chunk: T edge-replicated,
+    # dr = 0, zero table/weight rows — exact no-ops in the recurrence
+    # (tau and S freeze; flux differences vanish; the boundary term
+    # uses the replicated bottom T); blocks/scratches are sized Lp,
+    # so budget with Lp
+    U = _CHUNK
+    Lp = 1 + U * (-(-(L - 1) // U))
+    tile, cb = _pick_blocks(Lp, R, max(C, 8), max(W, 128))
+    # the sbar scratch [Lp, cb, tile] joins the VMEM bill
     r32 = -(-R // 32) * 32
     while cb > 8 and (
-        2 * L * cb * r32 * 4 + L * cb * tile * 4 + 8 * cb * tile * 4
+        2 * Lp * cb * r32 * 4 + Lp * cb * tile * 4 + 8 * cb * tile * 4
         > _VMEM_BUDGET
     ):
         cb //= 2
     w_pad = -(-W // tile) * tile
     c_pad = -(-C // cb) * cb
-    # pad layers so (Lp - 1) divides the chunk: T edge-replicated,
-    # dr = 0, zero table/weight rows — exact no-ops in the recurrence
-    # (tau and S freeze; flux differences vanish; the boundary term
-    # uses the replicated bottom T)
-    U = _CHUNK
-    Lp = 1 + U * (-(-(L - 1) // U))
     tab_t = jnp.pad(jnp.transpose(tabk.astype(f32), (0, 2, 1, 3)),
                     ((0, 0), (0, Lp - L), (0, 0), (0, w_pad - W)))
     wn_p = jnp.pad(wn_out.astype(f32), (0, w_pad - W), constant_values=1.0)
@@ -799,20 +802,20 @@ def _ftpallas_batch(tabk, wrows, G, wgt):
     K, R, L, W = tabk.shape
     C = wgt.shape[0]
 
-    tile, cb = _pick_blocks(L, R, max(C, 8), max(W, 128))
+    U = _CHUNK
+    Lp = U * (-(-L // U))
+    tile, cb = _pick_blocks(Lp, R, max(C, 8), max(W, 128))
     r32 = -(-R // 32) * 32
     cb = min(cb, 64)
     while cb > 8 and (
-        2 * L * r32 * tile * 4
-        + 2 * cb * (L * r32 + L * L) * 4
-        + 2 * L * cb * tile * 4          # ext + abar scratches
+        2 * Lp * r32 * tile * 4
+        + 2 * cb * (Lp * r32 + Lp * Lp) * 4
+        + 2 * Lp * cb * tile * 4          # ext + abar scratches
         > 2 * _VMEM_BUDGET
     ):
         cb //= 2
     w_pad = -(-W // tile) * tile
     c_pad = -(-C // cb) * cb
-    U = _CHUNK
-    Lp = U * (-(-L // U))
     tab_t = jnp.pad(jnp.transpose(tabk.astype(f32), (0, 2, 1, 3)),
                     ((0, 0), (0, Lp - L), (0, 0), (0, w_pad - W)))
     wnm_t = jnp.pad(jnp.transpose(wrows.astype(f32), (1, 0, 2)),

@@ -86,8 +86,17 @@ def main(argv=None):
     elems = p.stage_abundances()
     atm = p.stage_atmosphere(pressure, elems)
     wn = cfg.wavenumber_grid()
-    tli = p.stage_linelist(wn)
-    grid = p.stage_opacity(tli, wn, pressure, atm)
+    # mirror Pipeline.run(): with rtosamp (fold_K) > 1 the line list
+    # and opacity grid live on the K-times-finer midpoint grid while
+    # outputs stay on wn (stage_forward folds the table itself)
+    if cfg.fold_K > 1:
+        from bart_tpu.utils.grids import folded_fine_grid
+
+        wn_rt = folded_fine_grid(wn, cfg.fold_K)
+    else:
+        wn_rt = wn
+    tli = p.stage_linelist(wn_rt)
+    grid = p.stage_opacity(tli, wn_rt, pressure, atm)
     fm, like, space = p.stage_forward(atm, wn, grid)
     setup_s = time.time() - t_setup
 
@@ -131,11 +140,23 @@ def main(argv=None):
     std = post.std(axis=(0, 2))
     pulls = (mean - truth_free) / np.maximum(std, 1e-12)
     psrf_max = float(np.nanmax(result.psrf))
+    rhat = np.asarray(result.psrf_rank)
 
-    print(f"\n{'param':>8} {'truth':>8} {'mean':>9} {'std':>8} {'pull':>6}")
-    for n, t, m, s, z in zip(names, truth_free, mean, std, pulls):
-        print(f"{n:>8} {t:8.3f} {m:9.3f} {s:8.3f} {z:6.2f}")
-    print(f"psrf max {psrf_max:.4f}  accept {result.accept_rate:.2f}  "
+    # Split the directions into data-CONSTRAINED vs prior-PLATEAU: a
+    # direction whose posterior std is well below the uniform-prior std
+    # (width/sqrt(12)) is constrained by the data; the rest are plateau
+    # directions where GR converges only at the prior-mixing timescale.
+    prior_std = (space.free_max - space.free_min) / np.sqrt(12.0)
+    constrained = std < 0.5 * prior_std
+
+    print(f"\n{'param':>8} {'truth':>8} {'mean':>9} {'std':>8} "
+          f"{'pull':>6} {'Rhat':>7} {'kind':>12}")
+    for n, t, m, s, z, r, c in zip(names, truth_free, mean, std, pulls,
+                                   rhat, constrained):
+        print(f"{n:>8} {t:8.3f} {m:9.3f} {s:8.3f} {z:6.2f} {r:7.4f} "
+              f"{'constrained' if c else 'plateau':>12}")
+    print(f"psrf max {psrf_max:.4f}  split-Rhat max {np.max(rhat):.4f}  "
+          f"accept {result.accept_rate:.2f}  fgamma {result.fgamma_final:.3f}  "
           f"MCMC {mcmc_s:.1f} s "
           f"({result.niter_total / mcmc_s:.0f} samples/s)")
 
@@ -147,15 +168,26 @@ def main(argv=None):
     # --- assertions -------------------------------------------------
     # This 4-datum posterior has directions that are prior-plateau
     # (abundances below detectability are all equally likely), where
-    # the Gelman-Rubin statistic converges only slowly: measured psrf
-    # ~1.25 at numit=1e5/50 chains and ~1.8 at CI length.  The sharp
-    # regression checks are model(truth)-vs-data, best-fit chi^2, and
-    # truth pulls; GR is a loose sanity bound set from measurement.
-    gr_bound = 2.5 if args.short else 1.5
+    # cross-chain mixing happens at the prior timescale.  The sharp
+    # regression checks are model(truth)-vs-data, best-fit chi^2,
+    # truth pulls, AND (round 4) rank-normalized split-R-hat < 1.1 on
+    # every data-CONSTRAINED direction plus acceptance >= 0.15 — the
+    # sampler-efficiency bar the round-3 run (accept 0.046, GR 1.27)
+    # did not meet before boundary reflection + burn-in gamma
+    # adaptation + the deeper snooker archive.
+    rhat_con_bound = 1.3 if args.short else 1.1
+    rhat_all_bound = 2.5 if args.short else 1.6
+    accept_floor = 0.10 if args.short else 0.15
     pull_bound = 3.5
     failures = []
-    if not (psrf_max < gr_bound):
-        failures.append(f"Gelman-Rubin {psrf_max:.3f} >= {gr_bound}")
+    rc = float(np.max(rhat[constrained])) if constrained.any() else 1.0
+    if not (rc < rhat_con_bound):
+        failures.append(
+            f"constrained-direction split-Rhat {rc:.3f} >= "
+            f"{rhat_con_bound}")
+    if not (float(np.max(rhat)) < rhat_all_bound):
+        failures.append(
+            f"split-Rhat {float(np.max(rhat)):.3f} >= {rhat_all_bound}")
     if not (chi2_best < len(data)):
         failures.append(
             f"best chi2 {chi2_best:.2f} >= ndata={len(data)} — sampler "
@@ -168,8 +200,9 @@ def main(argv=None):
                 ", ".join(f"{n} ({z:+.1f})"
                           for n, z, b in zip(names, pulls, bad) if b),
             ))
-    if not (result.accept_rate > 0.02):
-        failures.append(f"accept rate {result.accept_rate:.3f} <= 0.02")
+    if not (result.accept_rate >= accept_floor):
+        failures.append(
+            f"accept rate {result.accept_rate:.3f} < {accept_floor}")
 
     timing = {
         "mode": "short" if args.short else "full",
@@ -179,8 +212,13 @@ def main(argv=None):
         "samples_per_s": round(result.niter_total / mcmc_s, 1),
         "numit": int(cfg.numit), "nchains": int(cfg.nchains),
         "psrf_max": round(psrf_max, 4),
+        "split_rhat": {n: round(float(r), 4)
+                       for n, r in zip(names, rhat)},
+        "split_rhat_constrained_max": round(rc, 4),
+        "constrained": [n for n, c in zip(names, constrained) if c],
         "chi2_best": round(chi2_best, 4),
         "accept_rate": round(float(result.accept_rate), 4),
+        "fgamma_final": round(float(result.fgamma_final), 4),
         "max_abs_pull": round(float(np.max(np.abs(pulls))), 3),
         "truth_model_max_pull_sigma": round(pull_truth, 4),
         "passed": not failures,

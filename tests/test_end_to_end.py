@@ -33,6 +33,7 @@ def demo_problem():
     return fm, data_noisy, uncert
 
 
+@pytest.mark.slow
 def test_demo_eclipse_retrieval(demo_problem):
     fm, data, uncert = demo_problem
     # demo cfg free-parameter setup (examples/demo/BART_eclipse.cfg):
@@ -91,6 +92,7 @@ def test_demo_transit_retrieval_shape(demo_problem):
     assert -2 * res.best_loglike < 10.0
 
 
+@pytest.mark.slow
 def test_retrieval_other_pt_models(demo_problem):
     """Exercise a second PT family end-to-end (madhu_noinv, 5 params)."""
     import numpy as np

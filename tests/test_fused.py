@@ -59,6 +59,7 @@ def _unfused_reference(tab, wn, mu, muw, wrows, T, drp, sigma, n_mol):
     return jax.vmap(one)(T, n_mol, drp)
 
 
+@pytest.mark.slow
 def test_single_sample_matches_unfused(problem):
     ref = _unfused_reference(*problem)
     one = fused.fused_eclipse(
@@ -96,6 +97,7 @@ def test_pallas_interpret_matches_unfused(problem):
                                rtol=5e-5)
 
 
+@pytest.mark.slow
 def test_forward_model_fused_flag_and_parity():
     """The demo-shaped ForwardModel takes the fused path and matches the
     unfused pipeline end-to-end (spectrum + vmapped batch)."""

@@ -40,6 +40,7 @@ def test_demo_scale_shard_check_2x4():
     graft.demo_scale_shard_check(make_mesh(n_chain=2, n_wn=4))
 
 
+@pytest.mark.slow
 def test_demo_scale_sampler_block_has_one_collective_per_eval():
     """The full jitted MCMC block (scan of propose+forward+accept) at
     demo scale: tables stay sharded through the sampler's jit and the

@@ -63,6 +63,7 @@ def test_sharded_batched_chains(fm):
     )
 
 
+@pytest.mark.slow
 def test_sharded_mcmc_block(fm):
     """Full snooker MCMC block over the mesh (the dryrun in pytest)."""
     from bart_tpu.inference.likelihood import Likelihood, ParamSpace
@@ -174,6 +175,7 @@ def test_sharded_on_the_fly_matches_unsharded():
     )
 
 
+@pytest.mark.slow
 def test_multihost_two_process_smoke(tmp_path):
     """Two real OS processes form a jax.distributed group (localhost
     coordinator over the DCN path the reference covers with mpiexec,

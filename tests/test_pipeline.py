@@ -70,6 +70,7 @@ def test_load_data_array(tmp_path):
     np.testing.assert_allclose(load_data_array(str(t)), [5.0, 6.0])
 
 
+@pytest.mark.slow
 def test_full_pipeline_tiny(tmp_path):
     """Complete pipeline (uniform atm path) at tiny sizes."""
     out = str(tmp_path / "out")
@@ -94,6 +95,7 @@ def test_full_pipeline_tiny(tmp_path):
     pipe2.run()
 
 
+@pytest.mark.slow
 def test_just_opacity_stage(tmp_path):
     out = str(tmp_path / "op")
     cfg = load_config(DEMO_CFG, {
@@ -126,6 +128,7 @@ def test_rtosamp_refines_grid():
     np.testing.assert_allclose(cfgf.wavenumber_grid(), wn1, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_pipeline_folded_rtosamp(tmp_path):
     """Full pipeline with folded rtosamp: table built on the fine
     grid, outputs on the wndelt grid, retrieval runs."""

@@ -24,6 +24,10 @@ noise study (docs/PERFORMANCE.md "Precision" table):
 import numpy as np
 import pytest
 
+# the whole module is a >=5-min precision study (shared fixture
+# builds f32 AND f64 retrievals): slow tier
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
