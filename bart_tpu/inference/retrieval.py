@@ -250,7 +250,7 @@ def run_mcmc(
     # > 0.45: steps too timid).  Frozen at the end of burn-in so the
     # post-burn-in chain is a fixed-kernel Markov chain.
     adapt_gamma = walk in ("snooker", "demc")
-    acc_lo, acc_hi = 0.10, 0.45
+    acc_lo, acc_hi = 0.15, 0.45
     prev_nacc = float(np.asarray(state.naccept).sum())
     for ib in range(nblocks):
         key, kb = jax.random.split(key)
@@ -264,10 +264,13 @@ def run_mcmc(
             nacc = float(np.asarray(state.naccept).sum())
             block_acc = (nacc - prev_nacc) / (block * nchains)
             prev_nacc = nacc
+            # gain sized so the correction converges within a typical
+            # burn-in window (~10 blocks): a 0.08-below-floor block
+            # shrinks gamma by ~0.73x per block
             if block_acc < acc_lo:
-                fg_new = fg * float(np.exp(1.5 * (block_acc - acc_lo)))
+                fg_new = fg * float(np.exp(4.0 * (block_acc - acc_lo)))
             elif block_acc > acc_hi:
-                fg_new = fg * float(np.exp(1.0 * (block_acc - acc_hi)))
+                fg_new = fg * float(np.exp(2.0 * (block_acc - acc_hi)))
             else:
                 fg_new = fg
             fg_new = float(np.clip(fg_new, 0.1, 2.0))

@@ -77,7 +77,14 @@ def main(argv=None):
             "opacityfile": "opacity_4mol_short.npz",
         })
     else:
-        overrides.update({"nchains": "50"})
+        # the reference's own chain count (examples/WASP-12b/BART.cfg
+        # nchains=10): at numit=1e5 that is 10k iterations per chain —
+        # chains must be LONGER than the posterior's autocorrelation
+        # time for split-Rhat to converge (50 short chains maximized
+        # device throughput but left 2k-iter chains that cannot mix
+        # the curved kappa/g1/beta/abundance degeneracy); burn-in 2000
+        # gives the gamma adaptation a ~20-block window
+        overrides.update({"nchains": "10", "burnin": "2000"})
     cfg = load_config(CFG, overrides)
 
     p = Pipeline(cfg)
