@@ -163,6 +163,62 @@ _add("TiO", 63.866, ((0.0, 6), (3446.0, 2), (5661.0, 1), (11872.0, 6),
 _add("VO", 66.9409, ((0.0, 4), (9499.0, 8), (12606.0, 8)),
      149.0, omega=1011.3, wexe=4.86, B=0.5463)
 
+# --- round-4 breadth extension: the metal atoms/ions and hydride/
+# oxide diatomics of hot-Jupiter retrievals (UHJ Fe/Mg/Ca lines, M-
+# dwarf FeH/CrH/CaH/MgH bands, SiO/AlO).  Atom levels NIST ASD;
+# diatomic constants Huber & Herzberg 1979; dHf anchors JANAF where
+# the species is in JANAF (all atoms, SiO, AlO, AlH, SiH, NaH, MgH,
+# CaH), else derived from measured D0 (FeH: Schultz & Armentrout
+# 1.59 eV; CrH: 1.93 eV; KH: 1.81 eV) via dHf(XH) = dHf(X) + dHf(H)
+# - D0 with ~+-10 kJ/mol spread documented in tests/test_chem.py.
+# S(298.15) of every JANAF-covered entry reproduces the published
+# value to <0.6 J/mol/K (test_chem.py anchor list).
+
+_add("Mg", 24.305, ((0.0, 1), (21850.4, 1), (21870.5, 3), (21911.2, 5)),
+     147.1)
+_add("Mg+", 24.30445, ((0.0, 2),), _ion(147.1, 7.64624))
+_add("Ca", 40.078, ((0.0, 1), (15157.9, 1), (15210.1, 3), (15315.9, 5)),
+     177.8)
+_add("Ca+", 40.07745, ((0.0, 2), (13650.2, 4), (13710.9, 6)),
+     _ion(177.8, 6.11316))
+_add("Fe", 55.845, ((0.0, 9), (415.9, 7), (704.0, 5), (888.1, 3),
+                    (978.1, 1), (6928.3, 11), (7376.8, 9)), 415.5)
+_add("Fe+", 55.84445, ((0.0, 10), (384.8, 8), (667.7, 6), (862.6, 4),
+                       (977.1, 2)), _ion(415.5, 7.90247))
+_add("Si", 28.0855, ((0.0, 1), (77.1, 3), (223.2, 5), (6298.8, 5)),
+     450.0)
+_add("Si+", 28.08495, ((0.0, 2), (287.2, 4)), _ion(450.0, 8.15169))
+_add("Al", 26.9815, ((0.0, 2), (112.1, 4)), 330.0)
+_add("Al+", 26.98095, ((0.0, 1),), _ion(330.0, 5.98577))
+_add("Cr", 51.9961, ((0.0, 7),), 397.5)
+_add("Cr+", 51.99555, ((0.0, 6),), _ion(397.5, 6.76651))
+_add("Mn", 54.938, ((0.0, 6),), 283.3)
+_add("Ti+", 47.86645, ((0.0, 4), (94.1, 6), (225.7, 8), (393.4, 10)),
+     _ion(473.0, 6.82812))
+_add("V+", 50.94095, ((0.0, 1), (36.1, 3), (106.6, 5), (208.9, 7),
+                      (339.2, 9)), _ion(515.5, 6.74619))
+_add("SiO", 44.085, ((0.0, 1),), -100.4,
+     omega=1241.54, wexe=5.966, B=0.72679)
+_add("AlO", 42.981, ((0.0, 2), (5406.0, 4)), 66.9,
+     omega=979.23, wexe=6.97, B=0.64136)
+_add("AlH", 27.989, ((0.0, 1),), 259.5,
+     omega=1682.57, wexe=29.09, B=6.3938)
+# SiH ground 2Pi: spin-orbit components resolved (142 cm-1 split)
+_add("SiH", 29.093, ((0.0, 2), (142.0, 2)), 376.6,
+     omega=2041.80, wexe=35.51, B=7.4996)
+_add("NaH", 23.998, ((0.0, 1),), 142.0,
+     omega=1172.2, wexe=19.72, B=4.9012)
+_add("KH", 40.106, ((0.0, 1),), 125.0,
+     omega=983.6, wexe=14.3, B=3.33)
+_add("MgH", 25.313, ((0.0, 2),), 229.8,
+     omega=1495.20, wexe=31.89, B=5.8257)
+_add("CaH", 41.086, ((0.0, 2),), 230.9,
+     omega=1298.34, wexe=19.10, B=4.2766)
+_add("CrH", 53.004, ((0.0, 6),), 429.0,
+     omega=1581.0, wexe=30.0, B=6.22)
+_add("FeH", 56.853, ((0.0, 8),), 480.0,
+     omega=1774.0, wexe=34.0, B=6.40)
+
 
 def computed_tables(species=None, t_grid=None) -> dict:
     """(T, g/RT) tables for the computed-thermo species (all of them
