@@ -111,12 +111,80 @@ def build_tli(
     return data
 
 
+def validate(db_list, dbtypes, part_list, iwav_um, fwav_um,
+             species_hint=None) -> int:
+    """--validate dry run: parse every database tolerantly, print
+    per-file diagnostics (record counts, tolerated format deviations,
+    dropped records with line numbers, wn coverage vs the requested
+    range), build nothing.  Returns a process exit code: 0 clean,
+    1 if any record was dropped or a file failed outright."""
+    from bart_tpu.linelist.hitran import ParseReport, parse_par_bytes
+
+    wn_min, wn_max = 1e4 / fwav_um, 1e4 / iwav_um
+    if len(dbtypes) == 1 and len(db_list) > 1:
+        dbtypes = dbtypes * len(db_list)
+    rc = 0
+    print(f"requested range: {iwav_um}-{fwav_um} um "
+          f"({wn_min:.1f}-{wn_max:.1f} cm-1)")
+    for k, (db, typ) in enumerate(zip(db_list, dbtypes)):
+        print(f"\n[{k + 1}/{len(db_list)}] {typ}: {db}")
+        try:
+            if typ == "hit":
+                rep = ParseReport(path=db)
+                with open(db, "rb") as f:
+                    lists = parse_par_bytes(f.read(), on_error="skip",
+                                            report=rep)
+                print(rep.summary())
+                if rep.bad_records:
+                    rc = 1
+            else:
+                # binary/columnar formats: a record either parses or
+                # the driver raises — exercise the real parse path
+                single = build_tli([db], [typ],
+                                   [part_list[k]] if k < len(part_list)
+                                   else None,
+                                   output="", iwav_um=iwav_um,
+                                   fwav_um=fwav_um,
+                                   species_hint=[
+                                       (species_hint or [None] *
+                                        len(db_list))[k]])
+                lists = single.lines
+            for name, ll in lists.items():
+                n_in = int(np.count_nonzero(
+                    (ll.wn0 >= wn_min) & (ll.wn0 <= wn_max)))
+                cover = ("no overlap with requested range"
+                         if n_in == 0 else f"{n_in} in range")
+                print(f"  {name}: {ll.nlines} lines, "
+                      f"{ll.wn0.min():.2f}-{ll.wn0.max():.2f} cm-1 "
+                      f"({cover})")
+                if n_in == 0:
+                    rc = 1
+            pf = part_list[k] if k < len(part_list) else None
+            if pf not in (None, "implicit"):
+                try:
+                    _read_part(pf)
+                    print(f"  partition table OK: {pf}")
+                except Exception as e:
+                    print(f"  partition table FAILED: {pf}: {e}")
+                    rc = 1
+        except Exception as e:
+            print(f"  FAILED: {type(e).__name__}: {e}")
+            rc = 1
+    print("\nvalidate:", "clean" if rc == 0 else
+          "issues found (see above)")
+    return rc
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="bart_tpu.lineread",
         description="Build a TLI line database (pylineread equivalent)",
     )
     ap.add_argument("-c", "--config_file", required=True)
+    ap.add_argument("--validate", action="store_true",
+                    help="dry run: parse every database with tolerant "
+                         "diagnostics and report per-record issues "
+                         "without building the TLI")
     args = ap.parse_args(argv)
 
     cp = configparser.ConfigParser()
@@ -128,13 +196,18 @@ def main(argv=None) -> int:
     dbtypes = P["dbtype"].split()
     part = P.get("part_list", "implicit").split()
     part = [None if p == "implicit" else p for p in part]
+    hint = P.get("species", "").split() or None
+    if args.validate:
+        return validate(db_list, dbtypes, part,
+                        float(P["iwav"]), float(P["fwav"]),
+                        species_hint=hint)
     out = P["output"]
     if not out.endswith(".npz"):
         out = out + ".npz"
     data = build_tli(
         db_list, dbtypes, part, out,
         float(P["iwav"]), float(P["fwav"]),
-        species_hint=P.get("species", "").split() or None,
+        species_hint=hint,
     )
     print(f"TLI written: {out} — {data.total_lines()} lines, "
           f"species {data.species}, {data.wn_min:.1f}-{data.wn_max:.1f} cm-1")

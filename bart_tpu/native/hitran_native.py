@@ -65,6 +65,16 @@ def read_par(path: str, species: str | None = None):
                            gself, elow, nair)
     if got != n:
         raise IOError(f"{path}: parsed {got} of {n} records")
+    # the scanner marks unparseable fields NaN: escalate to the
+    # tolerant numpy parser (linelist.hitran), which produces
+    # per-record diagnostics instead of ingesting garbage
+    bad = (~np.isfinite(wn) | ~np.isfinite(s296) | ~np.isfinite(elow)
+           | ~np.isfinite(gair) | ~np.isfinite(gself)
+           | ~np.isfinite(nair))
+    if bad.any():
+        raise ValueError(
+            f"{path}: {int(bad.sum())} records with unparseable numeric "
+            f"fields (first at record {int(np.where(bad)[0][0]) + 1})")
 
     out = {}
     for mid in np.unique(mol_id):

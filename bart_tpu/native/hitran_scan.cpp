@@ -14,6 +14,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC hitran_scan.cpp -o libhitran_scan.so
 
 #include <cctype>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -24,18 +25,28 @@
 namespace {
 
 // Parse a fixed-width field as double; tolerates leading/trailing
-// blanks and HITRAN quirks (embedded blanks, missing E exponents are
-// not used in the fields we read).
+// blanks and real-archive quirks: Fortran 'D'/'d' exponents are
+// normalized to 'E'/'e' (strtod would otherwise stop at the 'D' and
+// silently return the mantissa — a 19-order-of-magnitude corruption
+// on an intensity field).  Unparseable content returns NaN so the
+// Python wrapper can detect it and fall back to the tolerant
+// diagnostic parser rather than ingest garbage.
 static inline double field_to_double(const char* p, int width) {
     char buf[32];
     int n = 0;
     for (int i = 0; i < width && n < 31; ++i) {
         char c = p[i];
-        if (c != ' ') buf[n++] = c;
+        if (c == ' ') continue;
+        if (c == 'D') c = 'E';
+        else if (c == 'd') c = 'e';
+        buf[n++] = c;
     }
     buf[n] = '\0';
     if (n == 0) return 0.0;
-    return std::strtod(buf, nullptr);
+    char* endp = nullptr;
+    double v = std::strtod(buf, &endp);
+    if (endp != buf + n) return std::nan("");
+    return v;
 }
 
 static inline int iso_char_to_index(char c) {
@@ -63,7 +74,9 @@ struct FileBuf {
     }
 };
 
-// Iterate record lines (>= 68 chars, not starting with '#').
+// Iterate record lines (>= 59 chars = molec..n_air, matching the
+// Python parser's minimal-record width; CR of CRLF endings stripped;
+// '#' comments skipped).
 template <typename Fn>
 static void for_each_record(const FileBuf& fb, Fn&& fn) {
     const char* p = fb.data;
@@ -73,7 +86,8 @@ static void for_each_record(const FileBuf& fb, Fn&& fn) {
             std::memchr(p, '\n', static_cast<size_t>(end - p)));
         const char* line_end = nl ? nl : end;
         size_t len = static_cast<size_t>(line_end - p);
-        if (len >= 68 && p[0] != '#') fn(p, len);
+        if (len > 0 && p[len - 1] == '\r') --len;
+        if (len >= 59 && p[0] != '#') fn(p, len);
         p = nl ? nl + 1 : end;
     }
 }

@@ -192,6 +192,37 @@ def test_lineread_cli(tmp_path):
     assert data.lines["CH4"].nlines == 1
 
 
+def test_lineread_cli_validate(tmp_path, capsys):
+    """--validate: dry run, per-record diagnostics, no output file;
+    exit 0 on a clean file, 1 when records were dropped."""
+    rec = (
+        " 61" + " 3028.752190" + " 1.216E-19" + " 7.845E+00"
+        + ".0633" + ".0791" + " 1293.1413" + "0.73" + "-.007280" + " " * 93
+    )
+    par = tmp_path / "ch4.par"
+    par.write_text(rec + "\n")
+    cfgf = tmp_path / "pyline.cfg"
+    cfgf.write_text(
+        "[Parameters]\n"
+        f"db_list = {par}\n"
+        "part_list = implicit\n"
+        "dbtype = hit\n"
+        f"output = {tmp_path}/out.tli\n"
+        "iwav = 2.0\n"
+        "fwav = 4.0\n"
+    )
+    assert lineread_main(["-c", str(cfgf), "--validate"]) == 0
+    assert not (tmp_path / "out.tli.npz").exists()     # dry run
+    assert "1/1 records parsed" in capsys.readouterr().out
+
+    # corrupt the wavenumber field -> dropped record -> exit 1
+    bad = rec[:3] + "  GARBAGE   " + rec[15:]
+    par.write_text(rec + "\n" + bad + "\n")
+    assert lineread_main(["-c", str(cfgf), "--validate"]) == 1
+    out = capsys.readouterr().out
+    assert "line 2" in out and "wn0" in out
+
+
 def test_build_tli_multi_db_merge(tmp_path):
     # two PS binaries of the same species merge sorted
     for k, wl in enumerate([np.array([2600.0]), np.array([2510.0])]):

@@ -136,6 +136,24 @@ def test_hitran_par_native_scanner_parity(tmp_path):
                 getattr(out[name], f), getattr(ref[name], f), rtol=0,
                 err_msg=f"{name}.{f}")
 
+    # D-exponent + CRLF + 59-char truncation parity (real-archive
+    # quirks; strtod would silently keep only the mantissa of a
+    # D-exponent field without the scanner's normalization)
+    rec = _par_record(5, 1, " 2147.081134", " 2.706D-19", " 3.366E+01",
+                      ".0601", ".0664", "    0.0000", "0.69", "-.000026")
+    quirks = tmp_path / "quirks.par"
+    quirks.write_bytes((rec[:59] + "\r\n").encode())
+    got = hitran_native.read_par(str(quirks), None)["CO"]
+    assert got.s296[0] == 2.706e-19
+    assert got.wn0[0] == 2147.081134
+
+    # corrupt numeric field: the native path must REFUSE (escalating
+    # to the diagnostic parser), never ingest garbage
+    bad = tmp_path / "bad.par"
+    bad.write_text(rec[:3] + "  GARBAGE   " + rec[15:] + "\n")
+    with pytest.raises(Exception):
+        hitran_native.read_par(str(bad), None)
+
 
 # ---------------------------------------------------------------------------
 # CIA: transit/Borysow grid format and HITRAN block format
@@ -482,3 +500,75 @@ def test_plez_vo_ascii(tmp_path):
     assert ll.s296[1] == pytest.approx(float(want[0]), rel=1e-12)
     # magnitude sanity: pi e^2/(m_e c^2) = 8.85282e-13 cm
     assert 1e-18 < ll.s296[1] < 1e-14
+
+
+# ---------------------------------------------------------------------------
+# Fault injection: tolerant parsing + --validate diagnostics (real
+# archive files deviate from the published spec in exactly these ways)
+
+
+def test_par_tolerates_crlf_dexp_truncation():
+    """CR/LF endings, Fortran D-exponents, and records truncated after
+    column 59 parse cleanly (each is a tolerated spec deviation, not an
+    error), with the deviations counted in the report."""
+    from bart_tpu.linelist.hitran import ParseReport
+
+    rec = _par_record(5, 1, " 2147.081134", " 2.706D-19", " 3.366E+01",
+                      ".0601", ".0664", "    0.0000", "0.69", "-.000026")
+    data = (rec[:59] + "\r\n").encode()          # truncated + CRLF
+    rep = ParseReport()
+    out = parse_par_bytes(data, report=rep)
+    co = out["CO"]
+    assert co.nlines == 1
+    assert co.s296[0] == 2.706e-19                # D-exponent normalized
+    assert co.wn0[0] == 2147.081134
+    assert rep.n_d_exponent == 1 and rep.n_parsed == 1
+
+
+def test_par_blank_optional_field_reads_zero():
+    from bart_tpu.linelist.hitran import ParseReport
+
+    rec = _par_record(5, 1, " 2147.081134", " 2.706E-19", " 3.366E+01",
+                      "     ", ".0664", "    0.0000", "0.69", "-.000026")
+    rep = ParseReport()
+    out = parse_par_bytes(rec.encode(), report=rep)
+    assert out["CO"].gamma_air[0] == 0.0
+    assert rep.n_blank_field >= 1
+
+
+def test_par_corrupt_required_field_raises_with_location():
+    import pytest
+
+    good = _par_record(5, 1, " 2147.081134", " 2.706E-19", " 3.366E+01",
+                       ".0601", ".0664", "    0.0000", "0.69", "-.000026")
+    bad = good[:3] + "  GARBAGE   " + good[15:]   # corrupt the wn field
+    data = (good + "\n" + bad + "\n").encode()
+    with pytest.raises(ValueError) as ei:
+        parse_par_bytes(data)
+    msg = str(ei.value)
+    assert "line 2" in msg and "wn0" in msg
+
+
+def test_par_skip_mode_drops_and_reports():
+    from bart_tpu.linelist.hitran import ParseReport
+
+    good = _par_record(5, 1, " 2147.081134", " 2.706E-19", " 3.366E+01",
+                       ".0601", ".0664", "    0.0000", "0.69", "-.000026")
+    bad = good[:3] + "  GARBAGE   " + good[15:]
+    short = good[:30]
+    data = (good + "\n" + bad + "\n" + short + "\n").encode()
+    rep = ParseReport()
+    out = parse_par_bytes(data, on_error="skip", report=rep)
+    assert out["CO"].nlines == 1                  # only the good record
+    assert rep.n_short == 1
+    assert rep.n_parsed == 1 and rep.n_records == 2
+    assert any(f == "wn0" for _, f, _ in rep.bad_records)
+    assert "line 2" in rep.summary()
+
+
+def test_par_blank_isotope_reads_main():
+    rec = _par_record(5, 1, " 2147.081134", " 2.706E-19", " 3.366E+01",
+                      ".0601", ".0664", "    0.0000", "0.69", "-.000026")
+    rec = rec[:2] + " " + rec[3:]                 # blank the iso column
+    out = parse_par_bytes(rec.encode())
+    assert out["CO"].iso[0] == 1
