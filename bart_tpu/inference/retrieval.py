@@ -246,11 +246,17 @@ def run_mcmc(
     # via fgamma; here it is automatic): multiplicative feedback with a
     # DEADBAND — gamma stays at the canonical 2.38/sqrt(2d) scale
     # (which mixes fastest) unless the block acceptance is pathological
-    # (< 0.10: steps far too big for the posterior's conditioning;
-    # > 0.45: steps too timid).  Frozen at the end of burn-in so the
-    # post-burn-in chain is a fixed-kernel Markov chain.
+    # (< 0.15: steps far too big for the posterior's conditioning;
+    # > 0.45: steps too timid).  Active only over the SECOND half of
+    # burn-in: during the initial descent from random starts the
+    # acceptance rate reflects distance from the typical set, not the
+    # proposal scale, and adapting on it slams gamma to the floor and
+    # strands chains in wrong modes (measured on the demo retrieval).
+    # Frozen at the end of burn-in so the post-burn-in chain is a
+    # fixed-kernel Markov chain.
     adapt_gamma = walk in ("snooker", "demc")
     acc_lo, acc_hi = 0.15, 0.45
+    fg_floor = 0.25
     prev_nacc = float(np.asarray(state.naccept).sum())
     for ib in range(nblocks):
         key, kb = jax.random.split(key)
@@ -264,20 +270,20 @@ def run_mcmc(
             nacc = float(np.asarray(state.naccept).sum())
             block_acc = (nacc - prev_nacc) / (block * nchains)
             prev_nacc = nacc
-            # gain sized so the correction converges within a typical
-            # burn-in window (~10 blocks): a 0.08-below-floor block
-            # shrinks gamma by ~0.73x per block
-            if block_acc < acc_lo:
-                fg_new = fg * float(np.exp(4.0 * (block_acc - acc_lo)))
-            elif block_acc > acc_hi:
-                fg_new = fg * float(np.exp(2.0 * (block_acc - acc_hi)))
-            else:
-                fg_new = fg
-            fg_new = float(np.clip(fg_new, 0.1, 2.0))
+            if done_iters > burnin // 2:
+                # gain sized so the correction converges within a
+                # typical adaptation window (~10 blocks): a block 0.08
+                # below the floor shrinks gamma by ~0.73x
+                if block_acc < acc_lo:
+                    fg_new = fg * float(np.exp(4.0 * (block_acc - acc_lo)))
+                elif block_acc > acc_hi:
+                    fg_new = fg * float(np.exp(2.0 * (block_acc - acc_hi)))
+                else:
+                    fg_new = fg
+                fg = float(np.clip(fg_new, fg_floor, 2.0))
             if done_iters + block > burnin:
-                log(f"burn-in gamma adaptation frozen: fgamma {fg_new:.3f}"
+                log(f"burn-in gamma adaptation frozen: fgamma {fg:.3f}"
                     f" (block accept {block_acc:.3f})")
-            fg = fg_new
 
         if checkpoint and (ib + 1) % checkpoint_every == 0:
             pos_store.flush()

@@ -81,6 +81,18 @@ _VMEM_LIMIT = 96 * 2**20                         # v5e has 128 MB VMEM
 # rows: exact no-ops in the recurrence) so the loop divides evenly.
 _CHUNK = 8
 
+# Contraction precision inside the FOLDED kernels (fills + slant
+# matmuls).  Mosaic lowers only DEFAULT (single-pass bf16 inputs,
+# measured ~7e-4 max relative error on f32 operands) and HIGHEST
+# (full fp32, ~3e-7); Precision.HIGH has NO Mosaic lowering (a
+# NotImplementedError at compile time — round 3 shipped that in
+# _ftkernel, so the folded transit kernel could never actually run
+# on TPU; interpret-mode CPU tests don't exercise Mosaic and stayed
+# green).  DEFAULT's error is measured against the f64 reference at
+# the band-flux level (tests/test_fused.py TPU study +
+# docs/PERFORMANCE.md); the K=1 kernels keep HIGHEST throughout.
+_FOLD_PRECISION = None  # None = Precision.DEFAULT
+
 # test hook: None = auto (TPU -> pallas), True/False force
 FORCE_PALLAS: bool | None = None
 # set by tests to run the kernel in interpreter mode off-TPU
@@ -197,6 +209,10 @@ def _kernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
         aux_c = aux_ref[pl.ds(base, U)]                       # [U, cb, 2]
         wnm_c = wnm_ref[pl.ds(base, U)]                       # [U, cb, R]
         tab_c = tab_ref[pl.ds(base, U)]                       # [U, R, tile]
+        # per-u unrolled dots, NOT one U-batched dot_general: the
+        # batched form lowers as one blocking matmul unit and loses
+        # the MXU/VPU overlap with the recurrence (measured 4.2 ->
+        # 7.3 ms per 512-chain batch on v5e)
         for u in range(U):
             ext_l = jax.lax.dot_general(
                 wnm_c[u], tab_c[u],
@@ -326,40 +342,46 @@ def _tkernel(tab_ref, wnm_ref, g_ref, wgt_ref, out_ref, ext_scr,
              *, L, CB, U=_CHUNK):
     """One (wn tile, chain block) program: layer-streamed extinction
     into VMEM scratch (U layers per chunk — see _CHUNK; the dispatch
-    pads L to a multiple of U with zero rows), then per-chain
-    slant-geometry matmuls."""
+    pads L to a multiple of U with zero rows), then slant-geometry
+    matmuls BATCHED over the chain block (one batched dot_general
+    instead of CB unrolled small matmuls — the unrolled form serialized
+    CB matmul+exp+store sequences and left the MXU idle between them)."""
 
     def fill(c, _):
         base = c * U
         wnm_c = wnm_ref[pl.ds(base, U)]                       # [U, cb, R]
         tab_c = tab_ref[pl.ds(base, U)]                       # [U, R, tile]
-        ext_scr[pl.ds(base, U)] = jnp.stack([
-            jax.lax.dot_general(
-                wnm_c[u], tab_c[u],
-                (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            for u in range(U)
-        ])
+        ext_c = jax.lax.dot_general(
+            wnm_c, tab_c,
+            (((2,), (1,)), ((0,), (0,))),                     # batch over U
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                                     # [U, cb, tile]
+        # chain-major scratch layout: Mosaic's batched matmul requires
+        # batch dims at the SAME operand position, so the slant matmul
+        # below needs ext as [cb, Lp, tile]
+        ext_scr[:, pl.ds(base, U), :] = jnp.swapaxes(ext_c, 0, 1)
         return 0
 
     jax.lax.fori_loop(0, L // U, fill, 0)
 
-    for c in range(CB):
-        tau = jax.lax.dot_general(
-            g_ref[c], ext_scr[:, c, :],
-            (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        absorb = 1.0 - jnp.exp(-jnp.minimum(tau, TAU_CLAMP))
-        out_ref[c, :] = jax.lax.dot_general(
-            wgt_ref[c : c + 1, :], absorb,
-            (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )[0]
+    # tau[c, b, w] = sum_l g[c, b, l] ext[c, l, w]  (batch over chains)
+    tau = jax.lax.dot_general(
+        g_ref[:, :, :], ext_scr[:, :, :],
+        (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )                                                         # [cb, Lp, tile]
+    absorb = 1.0 - jnp.exp(-jnp.minimum(tau, TAU_CLAMP))
+    # [cb, 1, Lp] x [cb, Lp, tile]: the unit free dim is required —
+    # Mosaic cannot lower a batched dot whose lhs has NO
+    # non-contracting dim (attr-parse failure observed on v5e)
+    out_ref[:, :] = jax.lax.dot_general(
+        wgt_ref[:, :][:, None, :], absorb,
+        (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )[:, 0, :]                                                # [cb, tile]
 
 
 def _tpallas_batch(tab, wrows, G, wgt):
@@ -409,7 +431,7 @@ def _tpallas_batch(tab, wrows, G, wgt):
         ],
         out_specs=pl.BlockSpec((cb, tile), lambda i, j: (j, i)),
         out_shape=jax.ShapeDtypeStruct((c_pad, w_pad), f32),
-        scratch_shapes=[pltpu.VMEM((Lp, cb, tile), f32)],
+        scratch_shapes=[pltpu.VMEM((cb, Lp, tile), f32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
@@ -546,7 +568,7 @@ def _fkernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
     ext0 = jax.lax.dot_general(
         wnm_ref[0], tab_ref[0, 0],
         (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_FOLD_PRECISION,
         preferred_element_type=jnp.float32,
     )
     # tau = 0 at the top layer: S there is the constant quadrature sum
@@ -562,12 +584,15 @@ def _fkernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
         aux_c = aux_ref[pl.ds(base, U)]                       # [U, cb, 2]
         wnm_c = wnm_ref[pl.ds(base, U)]                       # [U, cb, R]
         tab_c = tab_ref[0, pl.ds(base, U)]                    # [U, R, tile]
+        # per-u unrolled dots (see _kernel note: a U-batched dot loses
+        # MXU/VPU overlap with the recurrence); folded-mode precision
+        # _FOLD_PRECISION (see module note)
         s_list = []
         for u in range(U):
             ext_l = jax.lax.dot_general(
                 wnm_c[u], tab_c[u],
                 (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_FOLD_PRECISION,
                 preferred_element_type=jnp.float32,
             )
             tau_p = tau_p + 0.5 * (ext_p + ext_l) * aux_c[u, :, 1:2]
@@ -740,60 +765,59 @@ def _tsingle_folded(tabk, wrows, G, wgt):
 def _ftkernel(tab_ref, wnm_ref, g_ref, wgt_ref, out_ref, ext_scr,
               abar_scr, *, L, CB, K, U=_CHUNK):
     """Folded transit program: layer-streamed extinction for sub-sample
-    k into scratch (U layers per chunk), per-chain slant matmuls,
-    absorption accumulated into ``abar_scr`` across the K grid steps,
-    annulus quadrature at k == K-1."""
+    k into scratch (U layers per chunk), slant matmuls batched over the
+    chain block, absorption accumulated into ``abar_scr`` across the K
+    grid steps, annulus quadrature at k == K-1.
+
+    Folded-mode precision: fills and slant matmuls run at
+    _FOLD_PRECISION (see the module note: Mosaic supports only
+    DEFAULT/HIGHEST; the K=1 kernels keep HIGHEST — there the matmuls
+    are 1/K of the cost and set the reference-parity fidelity)."""
     k = pl.program_id(2)
     invK = 1.0 / K
 
     def fill(c, _):
         base = c * U
-        wnm_c = wnm_ref[pl.ds(base, U)]
-        tab_c = tab_ref[0, pl.ds(base, U)]
-        ext_scr[pl.ds(base, U)] = jnp.stack([
-            jax.lax.dot_general(
-                wnm_c[u], tab_c[u],
-                (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            for u in range(U)
-        ])
+        wnm_c = wnm_ref[pl.ds(base, U)]                       # [U, cb, R]
+        tab_c = tab_ref[0, pl.ds(base, U)]                    # [U, R, tile]
+        ext_c = jax.lax.dot_general(
+            wnm_c, tab_c,
+            (((2,), (1,)), ((0,), (0,))),                     # batch over U
+            precision=_FOLD_PRECISION,
+            preferred_element_type=jnp.float32,
+        )                                                     # [U, cb, tile]
+        # chain-major scratch: see the _tkernel layout note
+        ext_scr[:, pl.ds(base, U), :] = jnp.swapaxes(ext_c, 0, 1)
         return 0
 
     jax.lax.fori_loop(0, L // U, fill, 0)
 
-    for c in range(CB):
-        # Folded mode runs K slant matmuls per chain — the kernel's
-        # whole cost (measured ~100% of 89.6 ms at K=32 demo scale).
-        # HIGH (3-pass bf16) halves it vs HIGHEST (6-pass) at ~1e-6
-        # relative tau error — two orders below the rtosamp=32 budget
-        # (the K=1 kernels keep HIGHEST).
-        tau = jax.lax.dot_general(
-            g_ref[c], ext_scr[:, c, :],
-            (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGH,
-            preferred_element_type=jnp.float32,
-        )
-        a = (1.0 - jnp.exp(-jnp.minimum(tau, TAU_CLAMP))) * invK
+    # tau[c, b, w] = sum_l g[c, b, l] ext[c, l, w]  (batch over chains)
+    tau = jax.lax.dot_general(
+        g_ref[:, :, :], ext_scr[:, :, :],
+        (((2,), (1,)), ((0,), (0,))),
+        precision=_FOLD_PRECISION,
+        preferred_element_type=jnp.float32,
+    )                                                         # [cb, Lp, tile]
+    a = (1.0 - jnp.exp(-jnp.minimum(tau, TAU_CLAMP))) * invK
 
-        @pl.when(k == 0)
-        def _():
-            abar_scr[:, c, :] = a
+    @pl.when(k == 0)
+    def _():
+        abar_scr[:, :, :] = a
 
-        @pl.when(k > 0)
-        def _():
-            abar_scr[:, c, :] += a
+    @pl.when(k > 0)
+    def _():
+        abar_scr[:, :, :] += a
 
     @pl.when(k == K - 1)
     def _():
-        for c in range(CB):
-            out_ref[c, :] = jax.lax.dot_general(
-                wgt_ref[c : c + 1, :], abar_scr[:, c, :],
-                (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )[0]
+        # unit lhs free dim: see the _tkernel quadrature note
+        out_ref[:, :] = jax.lax.dot_general(
+            wgt_ref[:, :][:, None, :], abar_scr[:, :, :],
+            (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )[:, 0, :]                                            # [cb, tile]
 
 
 def _ftpallas_batch(tabk, wrows, G, wgt):
@@ -836,8 +860,8 @@ def _ftpallas_batch(tabk, wrows, G, wgt):
         ],
         out_specs=pl.BlockSpec((cb, tile), lambda i, j, k: (j, i)),
         out_shape=jax.ShapeDtypeStruct((c_pad, w_pad), f32),
-        scratch_shapes=[pltpu.VMEM((Lp, cb, tile), f32),
-                        pltpu.VMEM((Lp, cb, tile), f32)],
+        scratch_shapes=[pltpu.VMEM((cb, Lp, tile), f32),
+                        pltpu.VMEM((cb, Lp, tile), f32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),

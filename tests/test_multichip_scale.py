@@ -80,7 +80,8 @@ def test_demo_scale_sampler_block_has_one_collective_per_eval():
     assert np.all(np.isfinite(np.asarray(lb)))
 
     txt = sampler._run_block.lower(
-        state, jax.random.key(1), like.tables, nsteps=2
+        state, jax.random.key(1), like.tables,
+        jnp.asarray(1.0, state.positions.dtype), nsteps=2,
     ).compile().as_text()
     # Classify collectives by replica group size: the wn axis groups 4
     # devices ({0,1,2,3},{4,5,6,7} on the 2x4 mesh), the chain axis
