@@ -111,6 +111,7 @@ def build_opacity_grid(
     dtype=jnp.float32,
     q_tables: dict | None = None,
     osamp: int = 1,
+    dispatch_budget_bytes: float = 2e9,
 ) -> OpacityGrid:
     """Build the opacity table (the --justOpacity stage,
     reference BART.py:560-569 / SURVEY.md 3.3).
@@ -171,15 +172,38 @@ def build_opacity_grid(
 
         wndelt = float(wn_grid[1] - wn_grid[0]) if nW > 1 else 1.0
         out = np.zeros((ncond, nWp), np.float32)
+        expanded = []
         for tile_idx, tiles in buckets:
+            # Depth chunking: cross-sections are ADDITIVE over lines,
+            # so a bucket whose depth makes even ONE condition's
+            # temporaries exceed the budget (3M-line band heads reach
+            # ~7e5 slots/tile = ~22 GB, which crashes the TPU worker)
+            # is split along the line-depth axis and the partial
+            # sigmas summed.
+            nt_b, L_b = tiles.wn0.shape
+            L_cap = max(int(dispatch_budget_bytes
+                            // max(6 * nt_b * tile_size * 4, 1)), 1)
+            if L_b > L_cap:
+                nseg = -(-L_b // L_cap)
+                for s in range(nseg):
+                    sl = slice(s * L_cap, (s + 1) * L_cap)
+                    expanded.append((tile_idx, dataclasses.replace(
+                        tiles, wn0=tiles.wn0[:, sl],
+                        s296=tiles.s296[:, sl], elower=tiles.elower[:, sl],
+                        gamma_air=tiles.gamma_air[:, sl],
+                        n_air=tiles.n_air[:, sl],
+                        weight=tiles.weight[:, sl])))
+            else:
+                expanded.append((tile_idx, tiles))
+        for tile_idx, tiles in expanded:
             # Cap the per-dispatch footprint: the Voigt chain peaks at
             # ~6 f32 temporaries of [cond, nt, L, W] under XLA fusion;
-            # at HITEMP depths (3M lines -> L ~ 1e6 slots/tile) an
-            # uncapped cond_batch overflows HBM and crashes the TPU
-            # worker (measured).  Budget ~2 GB of temporaries.
+            # an uncapped cond_batch overflows HBM.  Budget ~2 GB.
             nt_b, L_b = tiles.wn0.shape
             per_cond = 6 * nt_b * L_b * tile_size * 4
-            cb_eff = max(1, min(cond_batch, int(2e9 // max(per_cond, 1))))
+            cb_eff = max(1, min(cond_batch,
+                                int(dispatch_budget_bytes
+                                    // max(per_cond, 1))))
             if cb_eff != cond_batch:
                 nb_b = -(-ncond // cb_eff)
                 tb_b = np.full(nb_b * cb_eff, conds_T[-1])
@@ -202,7 +226,8 @@ def build_opacity_grid(
             sig_b = np.asarray(fn(tb_b, pb_b))  # [nb_b, cb_eff, nt_b, W]
             sig_b = sig_b.reshape(nb_b * cb_eff, len(tile_idx), tile_size)
             for j, ti in enumerate(tile_idx):
-                out[:ncond, ti * tile_size : (ti + 1) * tile_size] = (
+                # accumulate: depth-split segments of one tile sum
+                out[:ncond, ti * tile_size : (ti + 1) * tile_size] += (
                     sig_b[:ncond, j])
         sigma[im] = out[:ncond, :nW]
 

@@ -479,3 +479,29 @@ def test_tile_lines_ethresh_culls_at_tiling():
                        pad_lines_to=8)
     np.testing.assert_array_equal(np.asarray(t_cut.wn0),
                                   np.asarray(t_ref.wn0))
+
+
+def test_depth_chunked_build_matches_unchunked():
+    """A dispatch budget so small that every bucket splits along the
+    line-depth axis must reproduce the unchunked table exactly
+    (cross-sections are additive over lines) — the 3M-line band-head
+    buckets need this path: their depth makes even one condition's
+    Voigt temporaries exceed HBM."""
+    import numpy as np
+    from bart_tpu.linelist.tli import synthetic_linelist
+    from bart_tpu.opacity.grid import build_opacity_grid
+
+    ll = synthetic_linelist("CH4", 2500.0, 2600.0, 600, seed=3,
+                            band_centers=(2520.0, 2580.0))
+    wn = np.linspace(2500.0, 2600.0, 128)
+    t_grid = np.array([800.0, 1600.0])
+    pressure = np.logspace(-3, 2, 6)
+    ref = build_opacity_grid({"CH4": ll}, wn, t_grid, pressure,
+                             tile_size=64, cond_batch=4)
+    # ~tiny budget: forces L_cap down to a few slots per dispatch
+    split = build_opacity_grid({"CH4": ll}, wn, t_grid, pressure,
+                               tile_size=64, cond_batch=4,
+                               dispatch_budget_bytes=64 * 6 * 64 * 4 * 50)
+    np.testing.assert_allclose(np.asarray(split.sigma),
+                               np.asarray(ref.sigma), rtol=2e-6,
+                               atol=1e-38)
