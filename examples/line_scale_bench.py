@@ -107,8 +107,12 @@ def main(argv):
         print("# " + json.dumps(rows[-1]))
         del grid
 
-    # on-the-fly single-eval timing at the smallest size
-    ll = skewed_linelist(sizes[0])
+    # on-the-fly single-eval timing (fixed at 300k: the table-free
+    # mode uses UNIFORM tiling whose 3M-line program exceeds what one
+    # dispatch should hold — at that scale the table is the only
+    # sensible object, which is the measurement's conclusion anyway)
+    n_fly = min(min(sizes), 300_000)
+    ll = skewed_linelist(n_fly)
     from bart_tpu.opacity.extinction import cross_section_grid
 
     tiles = tile_lines(ll, wn, 25.0, tile_size=256)
@@ -121,7 +125,7 @@ def main(argv):
     jax.block_until_ready(f(T, p))
     t_fly = time.time() - t0
     print(f"# on-the-fly sigma[100 layers x {len(wn)} wn] at "
-          f"{sizes[0]} lines: {t_fly*1e3:.0f} ms per profile "
+          f"{n_fly} lines: {t_fly*1e3:.0f} ms per profile "
           f"(table-free mode; the reference's is 'a couple of minutes' "
           f"per run, manual tex:776-778)")
     print(json.dumps(dict(metric="line_scale", rows=rows,
