@@ -121,6 +121,37 @@ def test_gr_converged_vs_not():
     assert np.all(psrf_bad > 2.0)
 
 
+def test_split_rhat_rank_properties():
+    """Rank-normalized split-R-hat (Vehtari et al. 2021):
+    * ~1 for iid chains, regardless of marginal shape (heavy tails
+      included — the property the classic statistic lacks);
+    * catches cross-chain location differences;
+    * catches WITHIN-chain trends via the split (a drifting chain
+      looks converged to the unsplit classic statistic);
+    * catches scale (variance) mismatch via the folded term."""
+    from bart_tpu.inference.gr import split_rhat_rank
+
+    rng = np.random.default_rng(11)
+    # heavy-tailed iid draws (Cauchy): rank normalization handles them
+    good = rng.standard_cauchy((8, 500, 2))
+    assert np.all(split_rhat_rank(good) < 1.05)
+
+    bad_loc = good + np.arange(8)[:, None, None] * 10.0
+    assert np.all(split_rhat_rank(bad_loc) > 1.5)
+
+    # drifting chains: same drift in every chain -> classic
+    # (unsplit-half) GR on the second half misses much of it, the
+    # split statistic does not
+    drift = rng.normal(0, 1, (8, 500, 2))
+    drift += np.linspace(0, 8, 500)[None, :, None]
+    assert np.all(split_rhat_rank(drift) > 1.3)
+
+    # scale mismatch, equal means: the folded term catches it
+    scale = rng.normal(0, 1, (8, 500, 1))
+    scale[:4] *= 6.0
+    assert np.all(split_rhat_rank(scale) > 1.1)
+
+
 def test_likelihood_priors_and_bounds():
     def forward(p):
         return p, p, jnp.asarray(True)

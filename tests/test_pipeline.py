@@ -51,6 +51,24 @@ def test_config_parses_reference_demo():
     assert len(load_data_array(cfg.data)) == 10
     assert len(cfg.filters) == 10
 
+    # the transit demo and the WASP-12b regression configs too
+    with warnings.catch_warnings(record=True) as wrec:
+        warnings.simplefilter("always")
+        cfg_t = load_config(
+            "/root/reference/examples/demo/BART_transit.cfg")
+    assert not any("ignored by bart_tpu" in str(w.message) for w in wrec)
+    assert cfg_t.solution == "transit"
+
+    wasp = "/root/reference/examples/WASP-12b/BART.cfg"
+    if os.path.isfile(wasp):
+        with warnings.catch_warnings(record=True) as wrec:
+            warnings.simplefilter("always")
+            cfg_w = load_config(wasp)
+        assert not any("ignored by bart_tpu" in str(w.message)
+                       for w in wrec)
+        assert cfg_w.nchains == 10 and cfg_w.numit == 100000
+        assert cfg_w.ethresh == 1e-99 and cfg_w.nwidth == 60
+
 
 def test_config_cli_overrides():
     cfg = load_config(DEMO_CFG, {"numit": "1234", "nchains": "3",
