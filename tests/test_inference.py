@@ -50,6 +50,51 @@ def test_gaussian_target(walk):
     assert 0.1 < accept < 0.95
 
 
+@pytest.mark.parametrize("walk", ["mrw", "demc", "snooker"])
+def test_flat_posterior_is_uniform_under_reflection(walk):
+    """Detailed-balance check for boundary reflection: on a FLAT
+    likelihood over the prior box, the stationary distribution must be
+    exactly uniform.  An asymmetric fold (or a wrong Metropolis
+    correction interacting with it) biases density toward or away
+    from the boundaries — precisely what this measures: bin occupancy
+    over each marginal, plus uniform moments.  Step scales are set
+    comparable to the box so proposals fold at the walls constantly."""
+    nfree, nchains = 2, 32
+    lo, hi = -1.0, 3.0
+
+    def loglike(x):
+        # bounds enforced in the likelihood, as the real Likelihood
+        # class does (samplers fold only SYMMETRIC proposals; snooker
+        # moves rely on this rejection)
+        inb = jnp.all((x >= lo) & (x <= hi))
+        return jnp.where(inb, 0.0, -jnp.inf), x[:1]
+
+    sampler = EnsembleSampler(
+        loglike_fn=loglike, nfree=nfree, nmodel=1, nchains=nchains,
+        walk=walk, pmin=np.full(nfree, lo), pmax=np.full(nfree, hi),
+        stepsize=np.full(nfree, 2.5),   # mrw folds on most proposals
+    )
+    key = jax.random.key(3)
+    key, k0 = jax.random.split(key)
+    state = sampler.init_state(k0)
+    chunks = []
+    for _ in range(10):
+        key, kb = jax.random.split(key)
+        state, pb, lb, mb = sampler.run_block(state, kb, 300)
+        chunks.append(np.asarray(pb))
+    flat = np.concatenate(chunks)[500:].reshape(-1, nfree)
+
+    width = hi - lo
+    assert np.abs(flat.mean(0) - (lo + hi) / 2).max() < 0.05 * width
+    np.testing.assert_allclose(flat.std(0), width / np.sqrt(12.0),
+                               rtol=0.05)
+    # 10-bin occupancy within 10% of uniform in every marginal —
+    # boundary bins included (where a fold asymmetry would show first)
+    for j in range(nfree):
+        h, _ = np.histogram(flat[:, j], bins=10, range=(lo, hi))
+        np.testing.assert_allclose(h / h.mean(), 1.0, atol=0.1)
+
+
 def test_unif_walk_bounds():
     sampler, _ = make_gaussian_sampler("unif")
     key = jax.random.key(2)
