@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["gelman_rubin", "split_rhat_rank"]
+__all__ = ["gelman_rubin", "split_rhat_rank", "effective_sample_size"]
 
 
 def gelman_rubin(chains: np.ndarray) -> np.ndarray:
@@ -83,6 +83,70 @@ def _rank_normalize(x: np.ndarray) -> np.ndarray:
     z_flat = ndtri((ranks + 1 - 0.375) / (N + 0.25))
     z[...] = z_flat.reshape(nchain, n, nfree)
     return z
+
+
+def _acov_fft(x: np.ndarray) -> np.ndarray:
+    """Per-chain autocovariance via FFT.  x [nchain, n, nfree] ->
+    acov [nchain, n, nfree] (biased normalization n, as in the
+    Stan/Vehtari estimator)."""
+    nchain, n, nfree = x.shape
+    xc = x - x.mean(axis=1, keepdims=True)
+    nfft = 1 << (2 * n - 1).bit_length()
+    f = np.fft.rfft(xc, nfft, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), nfft, axis=1)[:, :n, :].real
+    return acov / n
+
+
+def effective_sample_size(chains: np.ndarray) -> np.ndarray:
+    """Bulk effective sample size per parameter (Vehtari et al. 2021).
+
+    ``chains`` [nchain, niter, nfree] (post-burn-in draws).  Each
+    chain is split in half, draws are rank-normalized, per-chain
+    autocovariances combine into the multi-chain correlation estimate
+      rho_t = 1 - (W - mean_m acov_{m,t}) / var_plus
+    summed with Geyer's initial monotone positive-pair sequence;
+    ESS = M n / (1 + 2 sum rho).  Capped at M n log10(M n) (the
+    estimator's reliability limit for antithetic chains).
+    """
+    chains = np.asarray(chains, np.float64)
+    nchain, niter, nfree = chains.shape
+    half = niter // 2
+    if half < 4:
+        return np.full(nfree, np.nan)
+    x = np.concatenate(
+        [chains[:, :half, :], chains[:, niter - half:, :]], axis=0)
+    x = _rank_normalize(x)
+    M, n, _ = x.shape
+
+    acov = _acov_fft(x)                          # [M, n, nfree]
+    mean_acov = acov.mean(axis=0)                # [n, nfree]
+    W = (acov[:, 0, :] * n / (n - 1.0)).mean(axis=0)
+    mean_c = x.mean(axis=1)
+    B_over_n = mean_c.var(axis=0, ddof=1)
+    var_plus = (n - 1.0) / n * W + B_over_n
+
+    ess = np.empty(nfree)
+    for j in range(nfree):
+        if var_plus[j] <= 0:
+            ess[j] = M * n
+            continue
+        rho = 1.0 - (W[j] - mean_acov[:, j]) / var_plus[j]
+        # Geyer: sum consecutive pairs while positive, enforce
+        # monotone decrease
+        tau = -1.0  # accounts for rho_0 = 1 double-count below
+        prev_pair = np.inf
+        t = 0
+        while t + 1 < n:
+            pair = rho[t] + rho[t + 1]
+            if pair < 0:
+                break
+            pair = min(pair, prev_pair)
+            prev_pair = pair
+            tau += 2.0 * pair
+            t += 2
+        tau = max(tau, 1.0 / np.log10(M * n + 10.0))
+        ess[j] = min(M * n / tau, M * n * np.log10(M * n))
+    return ess
 
 
 def split_rhat_rank(chains: np.ndarray) -> np.ndarray:

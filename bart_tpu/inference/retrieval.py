@@ -27,7 +27,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from bart_tpu.inference.gr import gelman_rubin, split_rhat_rank
+from bart_tpu.inference.gr import (effective_sample_size, gelman_rubin,
+                                   split_rhat_rank)
 from bart_tpu.inference.likelihood import Likelihood, ParamSpace
 from bart_tpu.inference.samplers import EnsembleSampler, SamplerState
 
@@ -120,6 +121,7 @@ class RetrievalResult:
     converged: bool
     psrf_rank: np.ndarray | None = None  # rank-normalized split-R-hat
     fgamma_final: float = 1.0  # DE gamma scale after burn-in adaptation
+    ess: np.ndarray | None = None  # bulk effective sample size per param
 
 
 def least_squares_prefit(like: Likelihood, space: ParamSpace):
@@ -312,11 +314,14 @@ def run_mcmc(
     # reference's MC3 savemodel records every iteration's model, and
     # modelper splits count raw iterations (BART.py:208-216).
     models = model_store.samples() if model_store is not None else None
+    ess = None
     if grtest:
         chains = np.asarray(
             pos_store.iterations(start=burnin)).transpose(1, 0, 2)
         psrf = gelman_rubin(chains)
         psrf_rank = split_rhat_rank(chains)
+        ess = effective_sample_size(chains)
+        log(f"bulk ESS: {np.array2string(ess, precision=0)}")
         converged = converged or bool(np.all(psrf < grbreak))
 
     bestp = np.asarray(state.best_pos)
@@ -395,4 +400,5 @@ def run_mcmc(
         converged=converged,
         psrf_rank=psrf_rank,
         fgamma_final=fg,
+        ess=ess,
     )

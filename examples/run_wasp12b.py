@@ -229,6 +229,8 @@ def main(argv=None):
         "chi2_best": round(chi2_best, 4),
         "accept_rate": round(float(result.accept_rate), 4),
         "fgamma_final": round(float(result.fgamma_final), 4),
+        "ess": ({n: round(float(e)) for n, e in zip(names, result.ess)}
+                if result.ess is not None else None),
         "max_abs_pull": round(float(np.max(np.abs(pulls))), 3),
         "truth_model_max_pull_sigma": round(pull_truth, 4),
         "passed": not failures,

@@ -166,6 +166,31 @@ def test_gr_converged_vs_not():
     assert np.all(psrf_bad > 2.0)
 
 
+def test_effective_sample_size_known_answers():
+    """Bulk ESS (Vehtari et al. 2021): ~N for iid draws; N(1-rho)/
+    (1+rho) for AR(1) (rho=0.9 -> tau=19 -> 421 of 8000, estimator
+    lands within ~10%); ~nchain for diverged chains."""
+    from bart_tpu.inference.gr import effective_sample_size
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (8, 1000, 2))
+    ess = effective_sample_size(x)
+    assert np.all(ess > 0.75 * 8000), ess
+
+    rho = 0.9
+    e = rng.normal(0, 1, (8, 1000, 2))
+    y = np.empty_like(e)
+    y[:, 0] = e[:, 0]
+    for t in range(1, 1000):
+        y[:, t] = rho * y[:, t - 1] + np.sqrt(1 - rho**2) * e[:, t]
+    ess_ar = effective_sample_size(y)
+    want = 8000 * (1 - rho) / (1 + rho)
+    np.testing.assert_allclose(ess_ar, want, rtol=0.25)
+
+    bad = x + np.arange(8)[:, None, None] * 10.0
+    assert np.all(effective_sample_size(bad) < 50)
+
+
 def test_split_rhat_rank_properties():
     """Rank-normalized split-R-hat (Vehtari et al. 2021):
     * ~1 for iid chains, regardless of marginal shape (heavy tails
