@@ -39,6 +39,10 @@ def main(argv=None) -> int:
                              "`transit -c cfg` use case)")
     parser.add_argument("--resume", action="store_true",
                         help="reuse existing stage outputs in loc_dir")
+    parser.add_argument("--validate", action="store_true",
+                        help="preflight: check inputs exist/parse and "
+                             "parameter vectors are consistent, build "
+                             "nothing (exit 1 on issues)")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="write a jax.profiler device trace to DIR")
     args, extra = parser.parse_known_args(argv)
@@ -55,6 +59,14 @@ def main(argv=None) -> int:
                 overrides[key] = "True"
 
     cfg = load_config(args.config_file, overrides)
+    if args.validate:
+        import os
+
+        from bart_tpu.driver.validate import run_validate
+
+        cfgdir = (os.path.dirname(os.path.abspath(args.config_file))
+                  if args.config_file else os.getcwd())
+        return run_validate(cfg, cfgdir)
     pipe = Pipeline(
         cfg,
         just_tea=args.justTEA,

@@ -329,10 +329,10 @@ def load_config(path: str | None = None, overrides: dict | None = None
 def load_data_array(val, cfgdir: str = ".") -> np.ndarray | None:
     """Resolve data/uncert: inline numbers, .npy, .npz, or text file
     (reference BART.py:385-436)."""
-    if val is None or val == "None":
-        return None
     if isinstance(val, np.ndarray):
         return val
+    if val is None or val == "None":
+        return None
     s = str(val).strip()
     tokens = s.split()
     try:

@@ -224,3 +224,51 @@ def test_just_spectrum_mode(tmp_path):
     assert bool(valid)
     np.testing.assert_allclose(spectrum, np.asarray(spec_params),
                                rtol=5e-3)
+
+
+def test_validate_preflight(tmp_path):
+    """--validate: clean demo config passes; injected config faults
+    are each caught with a specific issue, nothing is built."""
+    from bart_tpu.driver.cli import main as cli_main
+    from bart_tpu.driver.validate import validate_config
+
+    # clean
+    assert cli_main(["-c", DEMO_CFG, "--validate"]) == 0
+
+    base = load_config(DEMO_CFG)
+    cfgdir = os.path.dirname(os.path.abspath(DEMO_CFG))
+
+    def issues_of(**kw):
+        cfg = load_config(DEMO_CFG)
+        for k, v in kw.items():
+            setattr(cfg, k, v)
+        return validate_config(cfg, cfgdir)[0]
+
+    # data/filter count mismatch
+    iss = issues_of(data=np.ones(7))
+    assert any("7 entries" in s for s in iss), iss
+    # params outside bounds
+    p = np.asarray(base.params).copy()
+    p[0] = 99.0
+    iss = issues_of(params=p)
+    assert any("outside [pmin, pmax]" in s for s in iss), iss
+    # wrong parameter count for the layout (parnames too, else the
+    # length-consistency check fires first)
+    iss = issues_of(params=np.ones(3), pmin=-np.ones(3),
+                    pmax=2 * np.ones(3), stepsize=0.1 * np.ones(3),
+                    parnames=["a", "b", "c"])
+    assert any("expects" in s for s in iss), iss
+    # molfit species absent from out_spec
+    iss = issues_of(molfit=["XeF6"])
+    assert any("XeF6" in s for s in iss), iss
+    # missing line data
+    iss = issues_of(linedb="/no/such/file.npz", opacityfile=None)
+    assert any("linedb" in s for s in iss), iss
+    # bad shared-stepsize index
+    ss = np.asarray(base.stepsize).copy()
+    ss[-1] = -99.0
+    iss = issues_of(stepsize=ss)
+    assert any("shares parameter" in s for s in iss), iss
+    # negative uncertainties
+    iss = issues_of(uncert=-np.ones(10))
+    assert any("non-positive" in s for s in iss), iss
