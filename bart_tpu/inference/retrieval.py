@@ -221,6 +221,16 @@ def run_mcmc(
     fg = float(fgamma)
     if resume and checkpoint and os.path.isfile(checkpoint):
         state, done0, key, fg = load_checkpoint(checkpoint)
+        nz_ckpt = int(state.z_archive.shape[0])
+        if nz_ckpt != sampler.nz:
+            # A checkpoint written under a different archive-size
+            # default must win: the ring-buffer index math in _step
+            # uses sampler.nz, and a mismatch produces out-of-bounds
+            # scatter/gather that JAX silently clamps — the snooker
+            # archive would degrade statistically with no error.
+            log(f"checkpoint z-archive size {nz_ckpt} != configured "
+                f"{sampler.nz}; using the checkpoint's size")
+            sampler.nz = nz_ckpt
         log(f"resumed from {checkpoint} at iteration {done0} "
             f"(fgamma {fg:.3f})")
     else:
@@ -304,8 +314,14 @@ def run_mcmc(
                 f"split-Rhat: {np.array2string(psrf_rank, precision=4)}  "
                 f"accept: {float(state.naccept.sum())/ (done_iters*nchains):.3f}"
             )
-            if grexit and np.all(psrf < grbreak):
-                log("Gelman-Rubin convergence reached — early exit (grexit).")
+            # Early exit gates on the rank-normalized split-R-hat, the
+            # strictly stronger statistic: plain GR can read converged
+            # on heavy-tailed/plateau posteriors (this problem's shape —
+            # see docs/PERFORMANCE.md reflection discussion) while the
+            # split/rank form still detects within-chain drift and
+            # tail mis-mixing.
+            if grexit and np.all(psrf_rank < grbreak):
+                log("split-R-hat convergence reached — early exit (grexit).")
                 converged = True
                 break
 
@@ -322,7 +338,7 @@ def run_mcmc(
         psrf_rank = split_rhat_rank(chains)
         ess = effective_sample_size(chains)
         log(f"bulk ESS: {np.array2string(ess, precision=0)}")
-        converged = converged or bool(np.all(psrf < grbreak))
+        converged = converged or bool(np.all(psrf_rank < grbreak))
 
     bestp = np.asarray(state.best_pos)
     best_logl = float(state.best_loglike)

@@ -30,8 +30,13 @@ namespace {
 // silently return the mantissa — a 19-order-of-magnitude corruption
 // on an intensity field).  Unparseable content returns NaN so the
 // Python wrapper can detect it and fall back to the tolerant
-// diagnostic parser rather than ingest garbage.
-static inline double field_to_double(const char* p, int width) {
+// diagnostic parser rather than ingest garbage.  ``blank_is_nan``
+// marks an all-blank REQUIRED field (wn0, S296, E'') as NaN too —
+// ingesting it as 0.0 would plant a wn=0 line in the list while the
+// diagnostic parser would have reported it; blank OPTIONAL fields
+// (widths, exponents) keep the 0.0 default.
+static inline double field_to_double(const char* p, int width,
+                                     bool blank_is_nan = false) {
     char buf[32];
     int n = 0;
     for (int i = 0; i < width && n < 31; ++i) {
@@ -42,7 +47,7 @@ static inline double field_to_double(const char* p, int width) {
         buf[n++] = c;
     }
     buf[n] = '\0';
-    if (n == 0) return 0.0;
+    if (n == 0) return blank_is_nan ? std::nan("") : 0.0;
     char* endp = nullptr;
     double v = std::strtod(buf, &endp);
     if (endp != buf + n) return std::nan("");
@@ -116,11 +121,11 @@ long hitran_parse(const char* path, int32_t* mol_id, int8_t* iso,
     for_each_record(fb, [&](const char* p, size_t) {
         mol_id[i] = static_cast<int32_t>(field_to_double(p, 2));
         iso[i] = static_cast<int8_t>(iso_char_to_index(p[2]));
-        wn[i] = field_to_double(p + 3, 12);
-        s296[i] = field_to_double(p + 15, 10);
+        wn[i] = field_to_double(p + 3, 12, /*blank_is_nan=*/true);
+        s296[i] = field_to_double(p + 15, 10, /*blank_is_nan=*/true);
         gamma_air[i] = field_to_double(p + 35, 5);
         gamma_self[i] = field_to_double(p + 40, 5);
-        elower[i] = field_to_double(p + 45, 10);
+        elower[i] = field_to_double(p + 45, 10, /*blank_is_nan=*/true);
         n_air[i] = field_to_double(p + 55, 4);
         ++i;
     });

@@ -166,6 +166,35 @@ def test_gr_converged_vs_not():
     assert np.all(psrf_bad > 2.0)
 
 
+def test_grexit_gates_on_split_rhat():
+    """Early exit must gate on the rank-normalized split-R-hat: on a
+    shared-drift ensemble (every chain still descending together — the
+    plateau/drift shape this problem's posterior has) plain GR reads
+    converged while the split statistic refuses."""
+    from bart_tpu.inference.gr import split_rhat_rank
+
+    rng = np.random.default_rng(21)
+    drift = rng.normal(0, 1, (8, 600, 2))
+    drift += np.linspace(0, 6, 600)[None, :, None]
+    assert np.all(gelman_rubin(drift) < 1.05)     # classic: fooled
+    assert np.all(split_rhat_rank(drift) > 1.05)  # split/rank: not
+
+    # and run_mcmc's grexit wiring uses the split statistic: an easy
+    # unimodal problem exits early, converged by split-R-hat
+    def forward(p):
+        return p, p, jnp.asarray(True)
+
+    space = ParamSpace([0.0, 0.0], [-5, -5], [5, 5], [0.1, 0.1])
+    like = Likelihood(forward, space, np.array([1.0, -1.0]),
+                      np.array([0.1, 0.1]))
+    res = run_mcmc(like, space, nchains=8, numit=400000, burnin=400,
+                   walk="snooker", seed=7, block=100, verbose=False,
+                   grtest=True, grexit=True, grbreak=1.02)
+    assert res.converged
+    assert res.niter_total < 400000          # actually exited early
+    assert np.all(res.psrf_rank < 1.02)      # by the split statistic
+
+
 def test_effective_sample_size_known_answers():
     """Bulk ESS (Vehtari et al. 2021): ~N for iid draws; N(1-rho)/
     (1+rho) for AR(1) (rho=0.9 -> tau=19 -> 421 of 8000, estimator
@@ -296,6 +325,39 @@ def test_checkpoint_resume(tmp_path):
                        grtest=False, checkpoint=ckpt, resume=True)
     assert resumed.posterior.shape == full.posterior.shape
     np.testing.assert_allclose(resumed.posterior, full.posterior, rtol=1e-12)
+
+
+def test_checkpoint_resume_nz_mismatch(tmp_path):
+    """A checkpoint written under a different snooker-archive-size
+    default resumes with the CHECKPOINT's archive size (a silent
+    size mismatch would clamp the ring-buffer scatter indices and
+    statistically degrade the archive with no error)."""
+    from bart_tpu.inference.retrieval import (load_checkpoint, run_mcmc,
+                                              save_checkpoint)
+
+    def forward(p):
+        return p, p, jnp.asarray(True)
+
+    space = ParamSpace([0.0, 0.0], [-5, -5], [5, 5], [0.1, 0.1])
+    like = Likelihood(forward, space, np.array([1.0, -1.0]),
+                      np.array([0.3, 0.3]))
+    ckpt = str(tmp_path / "ck.npz")
+    run_mcmc(like, space, nchains=4, numit=1600, burnin=0,
+             walk="snooker", seed=11, block=100, verbose=False,
+             grtest=False, checkpoint=ckpt)
+    # shrink the archive to an old default (2*nchains=8 < today's 100)
+    state, done, key, fg = load_checkpoint(ckpt)
+    state = state._replace(z_archive=state.z_archive[:8],
+                           z_count=jnp.minimum(state.z_count, 8))
+    save_checkpoint(ckpt, state, done, key, fg)
+    res = run_mcmc(like, space, nchains=4, numit=3200, burnin=0,
+                   walk="snooker", seed=11, block=100, verbose=False,
+                   grtest=False, checkpoint=ckpt, resume=True)
+    # resumed fine, and the re-written checkpoint keeps the loaded size
+    state2, done2, _, _ = load_checkpoint(ckpt)
+    assert state2.z_archive.shape[0] == 8
+    assert done2 == 800
+    assert np.all(np.isfinite(res.posterior))
 
 
 def test_modelper_split(tmp_path):

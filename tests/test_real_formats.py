@@ -154,6 +154,19 @@ def test_hitran_par_native_scanner_parity(tmp_path):
     with pytest.raises(Exception):
         hitran_native.read_par(str(bad), None)
 
+    # an all-BLANK required field (here wn0) must also refuse — it
+    # previously parsed as 0.0, planting a wn=0 line in the list,
+    # while the diagnostic parser reports it
+    blank = tmp_path / "blank.par"
+    blank.write_text(rec[:3] + " " * 12 + rec[15:] + "\n")
+    with pytest.raises(Exception):
+        hitran_native.read_par(str(blank), None)
+    # blank OPTIONAL fields (air width, col 35:40) still default to 0
+    opt = tmp_path / "opt.par"
+    opt.write_text(rec[:35] + " " * 5 + rec[40:] + "\n")
+    got_opt = hitran_native.read_par(str(opt), None)["CO"]
+    assert got_opt.gamma_air[0] == 0.0
+
 
 # ---------------------------------------------------------------------------
 # CIA: transit/Borysow grid format and HITRAN block format
