@@ -54,6 +54,11 @@ class SpeciesThermo:
 
     ``levels``: electronic levels [(E [cm-1], degeneracy g)].
     ``omega``/``wexe``/``B``: diatomic constants [cm-1] (None = atom).
+    ``omegas``: polyatomic fundamentals [cm-1], degenerate modes
+    repeated (harmonic treatment with OBSERVED fundamentals — the
+    standard RRHO recipe JANAF itself uses for polyatomics).
+    ``rot_abc``: (A, B, C) rotational constants [cm-1] for a
+    NONLINEAR polyatomic; a linear polyatomic sets ``B`` + ``omegas``.
     ``dhf298``: formation enthalpy at 298.15 K [kJ/mol].
     """
 
@@ -65,6 +70,8 @@ class SpeciesThermo:
     wexe: float = 0.0
     B: float | None = None           # cm-1
     sigma: int = 1
+    omegas: tuple = ()               # polyatomic fundamentals [cm-1]
+    rot_abc: tuple | None = None     # (A, B, C) [cm-1], nonlinear top
 
 
 def _el_stats(levels, T):
@@ -96,17 +103,38 @@ def thermo_funcs(st: SpeciesThermo, T):
     s_r = _s_trans_r(st.mass, T) + np.log(q_el) + th1 / T
     dh_r = 2.5 * (T - _T0) + (th1 - th1_0[0])
 
-    if st.omega is not None:
-        # rotation (linear, classical — theta_rot << 298 K for all
-        # species here) + vibration (omega_0 = omega_e - 2 omega_e x_e)
-        th_r = st.B * _CM_TO_K
-        s_r = s_r + np.log(T / (st.sigma * th_r)) + 1.0
-        dh_r = dh_r + (T - _T0)
-        th_v = (st.omega - 2.0 * st.wexe) * _CM_TO_K
+    def add_vib(s_r, dh_r, nu_cm):
+        """One harmonic oscillator at frequency nu [cm-1]."""
+        th_v = nu_cm * _CM_TO_K
         x = th_v / T
         x0 = th_v / _T0
         s_r = s_r + x / np.expm1(x) - np.log(-np.expm1(-x))
         dh_r = dh_r + th_v / np.expm1(x) - th_v / np.expm1(x0)
+        return s_r, dh_r
+
+    if st.omega is not None:
+        # diatomic: rotation (linear, classical — theta_rot << 298 K
+        # for all species here) + vibration with the anharmonicity-
+        # corrected fundamental (omega_0 = omega_e - 2 omega_e x_e)
+        th_r = st.B * _CM_TO_K
+        s_r = s_r + np.log(T / (st.sigma * th_r)) + 1.0
+        dh_r = dh_r + (T - _T0)
+        s_r, dh_r = add_vib(s_r, dh_r, st.omega - 2.0 * st.wexe)
+    elif st.omegas:
+        # polyatomic RRHO: classical rotation (nonlinear top via
+        # (A, B, C); linear via B) + one harmonic oscillator per
+        # fundamental (degenerate modes appear repeated in omegas)
+        if st.rot_abc is not None:
+            th_abc = np.prod([a * _CM_TO_K for a in st.rot_abc])
+            s_r = (s_r + 1.5 + np.log(np.sqrt(np.pi) / st.sigma)
+                   + 0.5 * np.log(T**3 / th_abc))
+            dh_r = dh_r + 1.5 * (T - _T0)
+        else:
+            th_r = st.B * _CM_TO_K
+            s_r = s_r + np.log(T / (st.sigma * th_r)) + 1.0
+            dh_r = dh_r + (T - _T0)
+        for nu in st.omegas:
+            s_r, dh_r = add_vib(s_r, dh_r, nu)
     return s_r, dh_r
 
 
@@ -218,6 +246,54 @@ _add("CrH", 53.004, ((0.0, 6),), 429.0,
      omega=1581.0, wexe=30.0, B=6.22)
 _add("FeH", 56.853, ((0.0, 8),), 480.0,
      omega=1774.0, wexe=34.0, B=6.40)
+
+# --- round-5 breadth extension: sulfur / phosphorus / halide chemistry
+# and the first POLYATOMIC species (H2S, SO2, PH3, TiO2, VO2), the
+# standard hot-Jupiter retrieval set the reference's TEA reaches
+# through the full JANAF tables (makeatm.py:606-691 naming contract;
+# SURVEY section 2.4).  Atom levels NIST ASD; diatomic constants
+# Huber & Herzberg 1979; polyatomic fundamentals + rotational
+# constants from Herzberg vol. III / HITRAN; dHf anchors JANAF
+# (Chase 1998).  PH is not in JANAF: dHf derived from measured
+# D0(P-H) ~ 3.0 eV via dHf(PH) = dHf(P) + dHf(H) - D, carrying
+# ~+-10 kJ/mol literature spread (same situation as FeH/CrH above).
+# TiO2/VO2 dHf carry ~+-10 kJ/mol spread; their fundamentals are
+# matrix-isolation/anion-photoelectron values.
+
+_add("S", 32.06, ((0.0, 5), (396.055, 3), (573.640, 1), (9238.609, 5)),
+     276.98)
+_add("P", 30.97376, ((0.0, 4), (11361.02, 4), (11376.63, 6)), 316.5)
+_add("Cl", 35.453, ((0.0, 4), (882.35, 2)), 121.30)
+# SH ground X2Pi: spin-orbit components resolved (377 cm-1 split)
+_add("SH", 33.073, ((0.0, 2), (377.0, 2)), 139.33,
+     omega=2711.6, wexe=59.9, B=9.4611)
+_add("SO", 48.064, ((0.0, 3),), 5.01,
+     omega=1149.2, wexe=5.6, B=0.7208)
+_add("S2", 64.12, ((0.0, 3),), 128.60,
+     omega=725.65, wexe=2.844, B=0.2955, sigma=2)
+_add("HCl", 36.461, ((0.0, 1),), -92.31,
+     omega=2990.946, wexe=52.8186, B=10.59341)
+_add("NaCl", 58.443, ((0.0, 1),), -181.42,
+     omega=366.0, wexe=2.05, B=0.21806)
+_add("KCl", 74.551, ((0.0, 1),), -214.68,
+     omega=281.0, wexe=1.30, B=0.12864)
+_add("PH", 31.982, ((0.0, 3),), 235.0,
+     omega=2365.2, wexe=44.5, B=8.5371)
+_add("H2S", 34.081, ((0.0, 1),), -20.50, sigma=2,
+     omegas=(2614.4, 1182.6, 2628.5),
+     rot_abc=(10.374, 8.991, 4.732))
+_add("SO2", 64.064, ((0.0, 1),), -296.81, sigma=2,
+     omegas=(1151.38, 517.69, 1361.76),
+     rot_abc=(2.02736, 0.34417, 0.29354))
+_add("PH3", 33.998, ((0.0, 1),), 5.40, sigma=3,
+     omegas=(2321.1, 992.1, 2326.9, 2326.9, 1118.3, 1118.3),
+     rot_abc=(4.4522, 4.4522, 3.919))
+_add("TiO2", 79.866, ((0.0, 1),), -305.4, sigma=2,
+     omegas=(962.5, 330.0, 934.8),
+     rot_abc=(1.0697, 0.2823, 0.2233))
+_add("VO2", 82.940, ((0.0, 2),), -230.1, sigma=2,
+     omegas=(970.0, 310.0, 936.0),
+     rot_abc=(1.01, 0.29, 0.225))
 
 
 def computed_tables(species=None, t_grid=None) -> dict:

@@ -422,3 +422,157 @@ def test_tio_vo_equilibrium_lockup():
                                     ["H2", "He", "H2O", "CO"]))
     np.testing.assert_allclose(q[:, 2] / q[:, 0], q2[:, 2] / q2[:, 0],
                                rtol=1e-2)
+
+
+def test_polyatomic_entropies_match_published():
+    """Round-5 polyatomic RRHO machinery + S/P/halide species:
+    S(298.15) from masses/levels/fundamentals/rotational constants
+    alone reproduces the published JANAF values.  Atoms to 0.01;
+    diatomics to 0.6 (truncated electronic sums + rigid rotor, as the
+    round-4 set); polyatomics to 0.35 (harmonic fundamentals — the
+    same recipe JANAF itself uses, residual is anharmonicity)."""
+    from bart_tpu.chem.thermo_species import EXTRA_SPECIES, entropy_298
+
+    atoms = {"S": 167.83, "P": 163.20, "Cl": 165.19}
+    for name, want in atoms.items():
+        assert entropy_298(EXTRA_SPECIES[name]) == pytest.approx(
+            want, abs=0.02), name
+    diatomics = {"SH": 195.63, "SO": 221.94, "S2": 228.17,
+                 "HCl": 186.90, "NaCl": 229.79, "KCl": 239.10}
+    for name, want in diatomics.items():
+        assert entropy_298(EXTRA_SPECIES[name]) == pytest.approx(
+            want, abs=0.6), name
+    polyatomics = {"H2S": 205.81, "SO2": 248.22, "PH3": 210.24}
+    for name, want in polyatomics.items():
+        assert entropy_298(EXTRA_SPECIES[name]) == pytest.approx(
+            want, abs=0.35), name
+
+
+def test_sulfur_partition_h2s_dominance():
+    """H2S carries essentially ALL sulfur below ~1500 K in solar-
+    composition gas (Visscher, Lodders & Fegley 2006), with SH and S
+    taking over by 2500-3000 K — the standard hot-Jupiter sulfur
+    chemistry the reference reaches via JANAF H2S/HS tables.  Plus a
+    mass-action check of the polyatomic: H2S <-> SH + H against g/RT
+    recomputed from the RRHO formulas."""
+    from bart_tpu.chem.tea import equilibrium_abundances
+    from bart_tpu.chem.thermo_species import EXTRA_SPECIES, g_rt
+    from bart_tpu.chem.thermo_tables import builtin_tables
+    from bart_tpu.io.abundances import read_elements
+
+    elems = read_elements(
+        "/root/reference/inputs/abundances_Asplund2009.txt")
+    species = ["H2", "H", "He", "H2O", "H2S", "SH", "S", "SO", "S2",
+               "SO2"]
+    tables = builtin_tables(species)
+    T = np.array([1000.0, 1500.0, 2500.0, 3000.0])
+    p = np.full_like(T, 1.0)
+    q = equilibrium_abundances(species, "H He O S".split(), p, T, elems,
+                               g_tables=tables)
+    d = {s: q[:, i] for i, s in enumerate(species)}
+    s_tot = (d["H2S"] + d["SH"] + d["S"] + d["SO"] + 2 * d["S2"]
+             + d["SO2"])
+    f_h2s = d["H2S"] / s_tot
+    assert f_h2s[0] > 0.99 and f_h2s[1] > 0.95        # low-T dominance
+    assert f_h2s[3] < 0.2                             # hot: SH/S take over
+    assert (d["SH"] + d["S"])[3] / s_tot[3] > 0.7
+    # monotonic decline of the H2S fraction with T
+    assert np.all(np.diff(f_h2s) < 0)
+
+    # mass action H2S <-> SH + H: x_SH x_H / x_H2S = exp(-dg)/p
+    gH = np.array([np.interp(t, *tables["H"]) for t in T])
+    dg = (g_rt(EXTRA_SPECIES["SH"], T) + gH
+          - g_rt(EXTRA_SPECIES["H2S"], T))
+    K = np.exp(-dg) / p
+    ratio = d["SH"] * d["H"] / d["H2S"]
+    np.testing.assert_allclose(ratio, K, rtol=1e-3)
+
+
+def test_chlorine_partition_alkali_halides():
+    """Alkali-halide chemistry (Lodders 1999, alkali condensation
+    precursors): NaCl+KCl carry chlorine at low T at 1 bar, HCl takes
+    over above the ~1300 K crossover, atomic Cl appears only when
+    hot; sodium stays overwhelmingly ATOMIC throughout (Na/Cl
+    abundance ratio ~5.5, so the chloride sink never depletes Na)."""
+    from bart_tpu.chem.tea import equilibrium_abundances
+    from bart_tpu.chem.thermo_tables import builtin_tables
+    from bart_tpu.io.abundances import read_elements
+
+    elems = read_elements(
+        "/root/reference/inputs/abundances_Asplund2009.txt")
+    species = ["H2", "H", "He", "Na", "K", "NaCl", "KCl", "HCl", "Cl"]
+    tables = builtin_tables(species)
+    T = np.array([800.0, 1300.0, 1600.0, 3000.0])
+    p = np.full_like(T, 1.0)
+    q = equilibrium_abundances(species, "H He Na K Cl".split(), p, T,
+                               elems, g_tables=tables)
+    d = {s: q[:, i] for i, s in enumerate(species)}
+    cl_tot = d["NaCl"] + d["KCl"] + d["HCl"] + d["Cl"]
+    f_salt = (d["NaCl"] + d["KCl"]) / cl_tot
+    f_hcl = d["HCl"] / cl_tot
+    assert f_salt[0] > 0.95                 # cool: chlorides carry Cl
+    assert f_hcl[2] > 0.9                   # 1600 K: HCl took over
+    assert 0.2 < f_hcl[1] < 0.8             # crossover near 1300 K
+    assert d["Cl"][3] / cl_tot[3] > 0.05    # atomic Cl only when hot
+    # Na stays atomic (chloride is a trace sink for Na)
+    f_na = d["Na"] / (d["Na"] + d["NaCl"])
+    assert np.all(f_na > 0.8)
+    # element conservation across the partition: Cl/Na ratio
+    na_tot = d["Na"] + d["NaCl"]
+    want = 10.0 ** (elems.dex_of("Cl") - elems.dex_of("Na"))
+    np.testing.assert_allclose(cl_tot / na_tot, want, rtol=1e-6)
+
+
+def test_phosphorus_partition_ph3():
+    """Phosphine chemistry (Visscher et al. 2006): PH3 is the
+    low-temperature phosphorus carrier (the Jupiter regime), atomic P
+    dominates when hot; the PH3 fraction declines monotonically."""
+    from bart_tpu.chem.tea import equilibrium_abundances
+    from bart_tpu.chem.thermo_tables import builtin_tables
+    from bart_tpu.io.abundances import read_elements
+
+    elems = read_elements(
+        "/root/reference/inputs/abundances_Asplund2009.txt")
+    species = ["H2", "H", "He", "PH3", "PH", "P"]
+    tables = builtin_tables(species)
+    T = np.array([600.0, 1500.0, 2500.0, 3000.0])
+    p = np.full_like(T, 1.0)
+    q = equilibrium_abundances(species, "H He P".split(), p, T, elems,
+                               g_tables=tables)
+    d = {s: q[:, i] for i, s in enumerate(species)}
+    ptot = d["PH3"] + d["PH"] + d["P"]
+    f_ph3 = d["PH3"] / ptot
+    assert f_ph3[0] > 0.999 and f_ph3[1] > 0.9
+    assert f_ph3[3] < 0.01 and d["P"][3] / ptot[3] > 0.7
+    assert np.all(np.diff(f_ph3) < 0)
+
+
+def test_titanium_dioxide_low_t_carrier():
+    """Gas-phase Ti/V speciation with the dioxides (Lodders 2002):
+    TiO2 is the dominant Ti GAS at low T, TiO through the M-dwarf/
+    hot-Jupiter photosphere regime, atomic Ti when very hot — same
+    ordering for VO2/VO/V (shifted hotter for V: D0(VO) < D0(TiO))."""
+    from bart_tpu.chem.tea import equilibrium_abundances
+    from bart_tpu.chem.thermo_tables import builtin_tables
+    from bart_tpu.io.abundances import read_elements
+
+    elems = read_elements(
+        "/root/reference/inputs/abundances_Asplund2009.txt")
+    species = ["H2", "H", "He", "H2O", "CO", "Ti", "TiO", "TiO2",
+               "V", "VO", "VO2"]
+    tables = builtin_tables(species)
+    T = np.array([1200.0, 2000.0, 3500.0])
+    p = np.full_like(T, 1.0)
+    q = equilibrium_abundances(species, "H He C O Ti V".split(), p, T,
+                               elems, g_tables=tables)
+    d = {s: q[:, i] for i, s in enumerate(species)}
+    ti = d["Ti"] + d["TiO"] + d["TiO2"]
+    v = d["V"] + d["VO"] + d["VO2"]
+    # low T: dioxide is the top Ti/V gas;  mid: TiO dominates Ti;
+    # hot: atomic dominates both
+    assert d["TiO2"][0] / ti[0] > 0.5 and d["VO2"][0] / v[0] > 0.5
+    assert d["TiO"][1] / ti[1] > 0.8
+    assert d["Ti"][2] / ti[2] > 0.6 and d["V"][2] / v[2] > 0.9
+    # dioxide fractions decline monotonically with T
+    assert np.all(np.diff(d["TiO2"] / ti) < 0)
+    assert np.all(np.diff(d["VO2"] / v) < 0)
