@@ -64,7 +64,7 @@ def _time_batched(fb, params, nrep, jax, rounds=3):
     out = fb(params)
     assert bool(np.all(np.isfinite(np.asarray(out[0])))), "non-finite flux"
     assert bool(np.all(np.asarray(out[2]))), "invalid forward evals"
-    best = np.inf
+    times = []
     for _round in range(rounds):  # round 1 absorbs remote warmup transients
         p = params
         t0 = time.time()
@@ -72,8 +72,14 @@ def _time_batched(fb, params, nrep, jax, rounds=3):
             out = fb(p)
             p = params + 0.0 * jnp.sum(out[0])   # serialize the chain
         assert np.isfinite(float(jnp.sum(out[0])))  # host read = barrier
-        best = min(best, (time.time() - t0) / nrep)
-    return best
+        times.append((time.time() - t0) / nrep)
+    best = min(times)
+    # round-to-round spread as % of best: the remote tunnel makes
+    # single numbers +-15-25% across processes (docs/PERFORMANCE.md);
+    # reporting the within-process spread keeps round-over-round
+    # comparisons honest
+    spread_pct = 100.0 * (max(times) - best) / best if len(times) > 1 else 0.0
+    return best, spread_pct
 
 
 def _extras(ge, jax, fm, params, nchain, nlines, nrep, dt, on_tpu):
@@ -98,10 +104,11 @@ def _extras(ge, jax, fm, params, nchain, nlines, nrep, dt, on_tpu):
              np.asarray(params)[:, 5:]], axis=1),
         fmt.dtype,
     )
-    dt_t = _time_batched(fmt.batched(), tparams, nrep, jax,
-                         rounds=3 if _left() > 90 else 1)
+    dt_t, sp_t = _time_batched(fmt.batched(), tparams, nrep, jax,
+                               rounds=3 if _left() > 90 else 1)
     print(f"# transit: batch {nchain} in {dt_t*1e3:.2f} ms; "
-          f"{nchain/dt_t:.0f} evals/s", file=sys.stderr)
+          f"{nchain/dt_t:.0f} evals/s (spread {sp_t:.0f}%)",
+          file=sys.stderr)
 
     # --- roofline accounting (eclipse primary) ---
     gridpoints = nchain * NWAVE * NLAYER
@@ -128,13 +135,16 @@ def _extras(ge, jax, fm, params, nchain, nlines, nrep, dt, on_tpu):
           f"{nchain/dt_t*NWAVE*NLAYER:.3e} (transit)", file=sys.stderr)
 
     # --- folded rtosamp=32 (publication accuracy, <1e-4 band flux) ---
-    # opt-in: BENCH_FOLD=1 (the K=32 fine table build adds ~5 min on a
-    # cold cache); numbers recorded in docs/PERFORMANCE.md
-    if os.environ.get("BENCH_FOLD") and on_tpu:
+    # Runs by DEFAULT (round-5): the K=32 fine table is a one-time
+    # ~5-min cold build behind the input-keyed cache, and each stage
+    # is deadline-guarded, so a cold-cache day degrades these extras
+    # rather than the scoreboard.  BENCH_FOLD=0 opts out.
+    if on_tpu and os.environ.get("BENCH_FOLD", "1") != "0":
         for geom, quad, adapt in (("eclipse", "expsum", 0.02),
                                   ("transit", "raygrid", 0.02)):
-            if _left() < 60:
-                print("# folded extras skipped: budget", file=sys.stderr)
+            if _left() < 100:
+                print(f"# folded {geom} skipped: {_left():.0f}s left "
+                      f"in budget", file=sys.stderr)
                 break
             fmf = ge._build_problem(
                 nlayer=NLAYER, nwave=NWAVE, nlines=nlines, cache=True,
@@ -146,12 +156,12 @@ def _extras(ge, jax, fm, params, nchain, nlines, nrep, dt, on_tpu):
                                 np.full((nchain, 1), fmf.r0_km),
                                 np.asarray(params)[:, 5:]], axis=1),
                 fmf.dtype)
-            dt_f = _time_batched(fmf.batched(), pf, nrep, jax,
-                                 rounds=3 if _left() > 120 else 1)
+            dt_f, sp_f = _time_batched(fmf.batched(), pf, nrep, jax,
+                                       rounds=3 if _left() > 120 else 1)
             print(f"# folded rtosamp=32 {geom} adapt={adapt} {quad} "
                   f"(fine frac {frac:.2f}): batch {nchain} in "
-                  f"{dt_f*1e3:.2f} ms; {nchain/dt_f:.0f} evals/s",
-                  file=sys.stderr)
+                  f"{dt_f*1e3:.2f} ms; {nchain/dt_f:.0f} evals/s "
+                  f"(spread {sp_f:.0f}%)", file=sys.stderr)
 
 
 def main():
@@ -185,7 +195,8 @@ def main():
 
     t0 = time.time()
     rounds = 3 if _left() > 60 else 1
-    dt = _time_batched(fm.batched(), params, nrep, jax, rounds=rounds)
+    dt, spread = _time_batched(fm.batched(), params, nrep, jax,
+                               rounds=rounds)
     print(f"# eclipse: compile+first {time.time()-t0-rounds*nrep*dt:.1f}s; "
           f"batch {nchain} in {dt*1e3:.2f} ms ({rounds} timing rounds)",
           file=sys.stderr)
@@ -193,11 +204,15 @@ def main():
 
     # PRIMARY METRIC — printed before any secondary measurement so a
     # budget overrun in the extras can never blank the scoreboard.
+    # spread_pct: best-vs-worst timing round within this process, so
+    # the +-15-25% remote-tunnel variance cannot masquerade as a
+    # round-over-round regression or win.
     print(json.dumps({
         "metric": "likelihood_evals_per_s",
         "value": round(evals_per_s, 1),
         "unit": "evals/s/chip",
         "vs_baseline": round(evals_per_s / 10.0, 1),
+        "spread_pct": round(spread, 1),
     }), flush=True)
 
     try:
