@@ -118,6 +118,10 @@ class RetrievalConfig:
     grtest: bool = True
     grexit: bool = False
     seed: int = 0
+    # snooker-walk tuning (bart_tpu extensions; defaults = the
+    # round-5 WASP-12b ESS/s sweep optimum, examples/sampler_sweep.py)
+    snooker_frac: float = 0.1    # fraction of snooker (vs parallel) moves
+    z_thin: int = 10             # snooker archive append period [iters]
     data: Any = None
     uncert: Any = None
     savemodel: str | None = None
@@ -243,13 +247,13 @@ _BOOL_KEYS = {"log", "COswap", "leastsq", "chisqscale", "grtest", "grexit",
               "transparent", "wlike", "mpi", "rtfold", "rtadapt"}
 _INT_KEYS = {"n_layers", "numit", "nchains", "burnin", "thinning",
              "modelper", "maxiter", "seed", "tauiso", "taulevel",
-             "modlevel", "verb", "rtosamp", "osamp", "nquad"}
+             "modlevel", "verb", "rtosamp", "osamp", "nquad", "z_thin"}
 _FLOAT_KEYS = {"p_top", "p_bottom", "solar_times", "refpress", "cloudtop",
                "Tmin", "Tmax", "tint", "wllow", "wlhigh", "wlfct", "wnlow",
                "wnhigh", "wndelt", "wnosamp", "wnfct", "toomuch", "ethresh",
                "nwidth", "tlow", "thigh", "tempdelt", "cloudfct", "cloudext",
                "radlow", "radhigh", "raddelt", "radfct", "allowq", "starrad",
-               "gsurf", "refradius"}
+               "gsurf", "refradius", "snooker_frac"}
 
 
 def load_config(path: str | None = None, overrides: dict | None = None

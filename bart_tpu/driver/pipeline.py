@@ -447,6 +447,7 @@ class Pipeline:
             grtest=cfg.grtest, grexit=cfg.grexit,
             leastsq=cfg.leastsq, chisqscale=cfg.chisqscale,
             seed=cfg.seed,
+            snooker_frac=cfg.snooker_frac, z_thin=cfg.z_thin,
             savefile=os.path.join(self.date_dir, "output.npy"),
             savemodel=(self._out(cfg.savemodel, "models.npy")
                        if cfg.savemodel else None),

@@ -166,6 +166,8 @@ def run_mcmc(
     checkpoint_every: int = 20,
     resume: bool = False,
     fgamma: float = 1.0,
+    snooker_frac: float = 0.1,
+    z_thin: int = 10,
     verbose: bool = True,
     dtype=jnp.float64,
 ) -> RetrievalResult:
@@ -213,6 +215,8 @@ def run_mcmc(
         pmax=space.free_max,
         stepsize=space.stepsize[space.ifree],
         fgamma=fgamma,
+        snooker_frac=snooker_frac,
+        z_thin=z_thin,
     )
     key = jax.random.key(seed)
     key, k0 = jax.random.split(key)
@@ -337,7 +341,9 @@ def run_mcmc(
         psrf = gelman_rubin(chains)
         psrf_rank = split_rhat_rank(chains)
         ess = effective_sample_size(chains)
-        log(f"bulk ESS: {np.array2string(ess, precision=0)}")
+        el = max(time.time() - t_start, 1e-9)
+        log(f"bulk ESS: {np.array2string(ess, precision=0)}  "
+            f"(min ESS/s {np.nanmin(ess)/el:.2f})")
         converged = converged or bool(np.all(psrf_rank < grbreak))
 
     bestp = np.asarray(state.best_pos)

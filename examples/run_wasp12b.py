@@ -231,6 +231,14 @@ def main(argv=None):
         "fgamma_final": round(float(result.fgamma_final), 4),
         "ess": ({n: round(float(e)) for n, e in zip(names, result.ess)}
                 if result.ess is not None else None),
+        # effective-samples/s is THE sampler efficiency number (raw
+        # samples/s times mixing quality); min over parameters is the
+        # binding one
+        "ess_per_s_min": (round(float(np.nanmin(result.ess)) / mcmc_s, 2)
+                          if result.ess is not None else None),
+        "ess_per_s_median": (
+            round(float(np.nanmedian(result.ess)) / mcmc_s, 2)
+            if result.ess is not None else None),
         "max_abs_pull": round(float(np.max(np.abs(pulls))), 3),
         "truth_model_max_pull_sigma": round(pull_truth, 4),
         "passed": not failures,
