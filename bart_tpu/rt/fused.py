@@ -544,7 +544,6 @@ def _fkernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
     once at k == K-1.  Layers advance U at a time (see _CHUNK).
     """
     k = pl.program_id(2)
-    invK = 1.0 / K
     wn_row = wn_ref[0, :]                                     # [W]
     wn3 = (_C1 * wn_row * wn_row * wn_row)[None, :]
     c2wn = (const.C2 * wn_row)[None, :]
@@ -571,8 +570,11 @@ def _fkernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
         precision=_FOLD_PRECISION,
         preferred_element_type=jnp.float32,
     )
-    # tau = 0 at the top layer: S there is the constant quadrature sum
-    s_top = jnp.zeros_like(ext0) + jnp.sum(wmu_ref[0, :])
+    # tau = 0 at the top layer: S there is the constant quadrature sum.
+    # The dispatch pre-scales the weights by 1/K (saving one multiply
+    # per (layer, chain, fine point) in the body), so the top layer —
+    # written once at k == 0, not accumulated — restores the K factor.
+    s_top = jnp.zeros_like(ext0) + K * jnp.sum(wmu_ref[0, :])
 
     @pl.when(k == 0)
     def _():
@@ -597,7 +599,7 @@ def _fkernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
             )
             tau_p = tau_p + 0.5 * (ext_p + ext_l) * aux_c[u, :, 1:2]
             ext_p = ext_l
-            s_list.append(smix(tau_p) * invK)
+            s_list.append(smix(tau_p))    # weights carry the 1/K
         s_c = jnp.stack(s_list)                               # [U, cb, tile]
 
         @pl.when(k == 0)
@@ -694,7 +696,9 @@ def _fpallas_batch(tabk, wn_out, mu, muw, wrows, T, drp, powers=False):
     )(
         tab_t, wnm_t, aux_t, wn_p[None, :],
         (1.0 / mu.astype(f32))[None, :],
-        (muw.astype(f32) * mu.astype(f32))[None, :],
+        # quadrature weights pre-scaled by 1/K: the kernel's smix then
+        # yields the bin-average contribution directly (see s_top note)
+        (muw.astype(f32) * mu.astype(f32) / K)[None, :],
     )
     return out[:C, :W]
 

@@ -48,6 +48,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--short", action="store_true",
                     help="CI-sized run (reduced grids + iterations)")
+    ap.add_argument("--fold", action="store_true",
+                    help="publication-accuracy mode: rtosamp=32 folded "
+                         "kernels (<1e-4 band flux) via "
+                         "wasp12b_eclipse_fold.cfg")
     ap.add_argument("--outdir", default=None)
     args = ap.parse_args(argv)
 
@@ -65,8 +69,15 @@ def main(argv=None):
     from bart_tpu.driver.config import load_config, load_data_array
     from bart_tpu.driver.pipeline import Pipeline
 
+    cfg_path = CFG
+    if args.fold:
+        assert not args.short, "--fold and --short are exclusive"
+        cfg_path = os.path.join(REPO, "examples",
+                                "wasp12b_eclipse_fold.cfg")
     outdir = args.outdir or os.path.join(
-        REPO, "examples", "wasp12b_out" + ("_short" if args.short else "")
+        REPO, "examples",
+        "wasp12b_out" + ("_short" if args.short else "")
+        + ("_fold" if args.fold else "")
     )
     overrides = {"loc_dir": outdir}
     if args.short:
@@ -85,7 +96,7 @@ def main(argv=None):
         # the curved kappa/g1/beta/abundance degeneracy); burn-in 2000
         # gives the gamma adaptation a ~20-block window
         overrides.update({"nchains": "10", "burnin": "2000"})
-    cfg = load_config(CFG, overrides)
+    cfg = load_config(cfg_path, overrides)
 
     p = Pipeline(cfg)
     t_setup = time.time()
@@ -215,7 +226,8 @@ def main(argv=None):
             f"accept rate {result.accept_rate:.3f} < {accept_floor}")
 
     timing = {
-        "mode": "short" if args.short else "full",
+        "mode": ("short" if args.short
+                 else "fold" if args.fold else "full"),
         "backend": __import__("jax").default_backend(),
         "setup_s": round(setup_s, 2),
         "mcmc_s": round(mcmc_s, 2),

@@ -49,6 +49,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--numit", type=int, default=100000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seeds", default=None,
+                    help="comma-separated seeds (overrides --seed)")
     ap.add_argument("--points", default=None,
                     help="comma-separated point names (default: all)")
     ap.add_argument("--out", default=os.path.join(
@@ -86,13 +88,16 @@ def main(argv=None):
         want = set(args.points.split(","))
         points = [pt for pt in POINTS if pt["name"] in want]
 
+    seeds = ([int(x) for x in args.seeds.split(",")]
+             if args.seeds else [args.seed])
     rows = []
-    for pt in points:
+    for seed in seeds:
+      for pt in points:
         t0 = time.time()
         res = run_mcmc(
             like, space,
             nchains=cfg.nchains, numit=args.numit, burnin=cfg.burnin,
-            walk="snooker", seed=args.seed, verbose=False,
+            walk="snooker", seed=seed, verbose=False,
             grtest=True,
             snooker_frac=pt["snooker_frac"], z_thin=pt["z_thin"],
             fgamma=pt["fgamma"],
@@ -102,7 +107,7 @@ def main(argv=None):
         ess = np.asarray(res.ess)
         row = {
             **pt,
-            "seed": args.seed,
+            "seed": seed,
             "mcmc_s": round(dt, 1),
             "samples_per_s": round(res.niter_total / dt, 1),
             "accept": round(float(res.accept_rate), 4),
