@@ -121,7 +121,7 @@ class RetrievalConfig:
     # snooker-walk tuning (bart_tpu extensions; defaults = the
     # round-5 WASP-12b ESS/s sweep optimum, examples/sampler_sweep.py)
     snooker_frac: float = 0.1    # fraction of snooker (vs parallel) moves
-    z_thin: int = 10             # snooker archive append period [iters]
+    z_thin: int = 30             # snooker archive append period [iters]
     data: Any = None
     uncert: Any = None
     savemodel: str | None = None

@@ -167,7 +167,7 @@ def run_mcmc(
     resume: bool = False,
     fgamma: float = 1.0,
     snooker_frac: float = 0.1,
-    z_thin: int = 10,
+    z_thin: int = 30,
     verbose: bool = True,
     dtype=jnp.float64,
 ) -> RetrievalResult:

@@ -91,7 +91,11 @@ class EnsembleSampler:
     pmax: np.ndarray | None = None
     stepsize: np.ndarray | None = None # [nfree] MRW proposal sigmas
     nz: int = 0                        # archive size (0 -> 10*nfree*? auto)
-    z_thin: int = 10                   # archive append period
+    # archive append period: the round-5 WASP-12b sweep (examples/
+    # sampler_sweep.py, 3 seeds) shows 30 beats 10 seedwise on BOTH
+    # min bulk ESS (140/100/199 vs 125/64/103) and split-R-hat —
+    # longer-range history decorrelates the DE difference vectors
+    z_thin: int = 30
     snooker_frac: float = 0.1
     gamma_jump_frac: float = 0.1       # demc full-jump probability
     eps: float = 1e-6                  # demc jitter scale

@@ -586,9 +586,11 @@ def _fkernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
         aux_c = aux_ref[pl.ds(base, U)]                       # [U, cb, 2]
         wnm_c = wnm_ref[pl.ds(base, U)]                       # [U, cb, R]
         tab_c = tab_ref[0, pl.ds(base, U)]                    # [U, R, tile]
-        # per-u unrolled dots (see _kernel note: a U-batched dot loses
-        # MXU/VPU overlap with the recurrence); folded-mode precision
-        # _FOLD_PRECISION (see module note)
+        # per-u unrolled dots (see _kernel note: a U-batched dot
+        # loses MXU/VPU overlap with the recurrence at K=1; at K=32 a
+        # U-batched fill was MEASURED at parity — 32.5 vs 32.7 ms on
+        # the WASP all-fine batch — so the simpler unrolled form is
+        # kept); folded-mode precision _FOLD_PRECISION (module note)
         s_list = []
         for u in range(U):
             ext_l = jax.lax.dot_general(

@@ -38,6 +38,8 @@ POINTS = [
     {"name": "sf0.5", "snooker_frac": 0.5, "z_thin": 10, "fgamma": 1.0},
     {"name": "zt3", "snooker_frac": 0.1, "z_thin": 3, "fgamma": 1.0},
     {"name": "zt30", "snooker_frac": 0.1, "z_thin": 30, "fgamma": 1.0},
+    {"name": "zt60", "snooker_frac": 0.1, "z_thin": 60, "fgamma": 1.0},
+    {"name": "zt100", "snooker_frac": 0.1, "z_thin": 100, "fgamma": 1.0},
     {"name": "fg0.6", "snooker_frac": 0.1, "z_thin": 10, "fgamma": 0.6},
     {"name": "fg1.5", "snooker_frac": 0.1, "z_thin": 10, "fgamma": 1.5},
     {"name": "sf0.3_zt3", "snooker_frac": 0.3, "z_thin": 3, "fgamma": 1.0},
