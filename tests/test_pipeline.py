@@ -272,3 +272,42 @@ def test_validate_preflight(tmp_path):
     # negative uncertainties
     iss = issues_of(uncert=-np.ones(10))
     assert any("non-positive" in s for s in iss), iss
+
+
+def test_sampler_knob_keys_parse_and_reach_sampler():
+    """Round-5 sampler-tuning keys: snooker_frac/z_thin parse from the
+    cfg and reach the EnsembleSampler through run_mcmc."""
+    import jax.numpy as jnp
+
+    from bart_tpu.driver.config import load_config
+    from bart_tpu.inference.likelihood import Likelihood, ParamSpace
+    from bart_tpu.inference import retrieval as rtv
+
+    cfg = load_config(DEMO_CFG, {"snooker_frac": "0.25", "z_thin": "7"})
+    assert cfg.snooker_frac == 0.25
+    assert cfg.z_thin == 7
+
+    # run_mcmc forwards them to the sampler (captured via the
+    # sampler's dataclass fields after construction)
+    def forward(p):
+        return p, p, jnp.asarray(True)
+
+    space = ParamSpace([0.0], [-5.0], [5.0], [0.1])
+    like = Likelihood(forward, space, np.array([0.0]), np.array([1.0]))
+    captured = {}
+    orig = rtv.EnsembleSampler
+
+    class Spy(orig):
+        def __post_init__(self):
+            super().__post_init__()
+            captured["snooker_frac"] = self.snooker_frac
+            captured["z_thin"] = self.z_thin
+
+    rtv.EnsembleSampler, saved = Spy, rtv.EnsembleSampler
+    try:
+        rtv.run_mcmc(like, space, nchains=4, numit=400, burnin=0,
+                     walk="snooker", seed=0, verbose=False, grtest=False,
+                     snooker_frac=cfg.snooker_frac, z_thin=cfg.z_thin)
+    finally:
+        rtv.EnsembleSampler = saved
+    assert captured == {"snooker_frac": 0.25, "z_thin": 7}
