@@ -109,6 +109,7 @@ class EnsembleSampler:
             # ensembles, collapsing snooker toward plain DEMC
             self.nz = max(10 * self.nfree, 10 * self.nchains, 100)
         self._run_block = None
+        self._eval_jit = None
 
     def _eval(self, positions, tables):
         """vmapped loglike over the ensemble.  ``tables`` (the forward
@@ -138,7 +139,15 @@ class EnsembleSampler:
             )
         else:
             pos = jnp.asarray(init_positions, dtype)
-        logl, models = self._eval(pos, self._tables)
+        # JIT the initial ensemble evaluation: eager op-by-op dispatch
+        # of the vmapped forward keeps every intermediate alive at once
+        # (for a folded K=32 production table the dispatch-layer
+        # transpose+pad transients alone are ~2x the 3.6 GB table —
+        # a measured HBM exhaustion before the retrieval even started),
+        # while under jit XLA plans and reuses that memory.
+        if self._eval_jit is None:
+            self._eval_jit = jax.jit(self._eval)
+        logl, models = self._eval_jit(pos, self._tables)
         zinit = jax.random.uniform(kz, (self.nz, self.nfree), dtype, lo, hi)
         # Seed the archive with the initial population (fallback draws
         # uniform so snooker differences are defined from step one):
