@@ -74,11 +74,19 @@ def _time_batched(fb, params, nrep, jax, rounds=3):
         assert np.isfinite(float(jnp.sum(out[0])))  # host read = barrier
         times.append((time.time() - t0) / nrep)
     best = min(times)
-    # round-to-round spread as % of best: the remote tunnel makes
-    # single numbers +-15-25% across processes (docs/PERFORMANCE.md);
-    # reporting the within-process spread keeps round-over-round
-    # comparisons honest
-    spread_pct = 100.0 * (max(times) - best) / best if len(times) > 1 else 0.0
+    # Median-vs-best spread as % of best: quantifies the tunnel's
+    # run-to-run variance on the reported (best) value so +-15-25%
+    # noise (docs/PERFORMANCE.md) can't masquerade as a regression or
+    # a win.  Median, not max: the tunnel occasionally stalls one
+    # round 10-20x (a transport artifact, not program variance), and
+    # a max-based spread would be dominated by that one outlier.  The
+    # raw per-round times go to stderr for transparency.
+    spread_pct = (
+        100.0 * (float(np.median(times)) - best) / best
+        if len(times) > 1 else 0.0
+    )
+    print("# rounds [ms]: " + ", ".join(f"{t*1e3:.2f}" for t in times),
+          file=sys.stderr)
     return best, spread_pct
 
 
