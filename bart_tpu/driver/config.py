@@ -165,6 +165,15 @@ class RetrievalConfig:
     # (error bound 0.27 delta^2 ~ 1e-4).  Turn off for wn-sharded
     # multi-chip runs (the split permutes the wn axis).
     rtadapt: bool = True
+    # Store the K-times-fine folded tables in bfloat16: the folded
+    # fills run at Precision.DEFAULT (which rounds f32 operands to
+    # bf16 per dot anyway), so this is numerically near-equivalent on
+    # TPU while HALVING the fine table's HBM residency, host->device
+    # upload, and stream bytes — the production knob for large fold
+    # tables (a 4-molecule WASP K=32 table is 3.6 GB in f32).
+    # Off by default: the reference-parity and CPU test paths keep
+    # full-f32 tables.
+    foldtable16: bool = False
     # sigma-bin-averaged cross-sections (arctan-quadrature points per
     # bin); biased for saturated lines — see docs/LINE_SAMPLING.md
     osamp: int = 1
@@ -244,7 +253,8 @@ _ARRAY_KEYS = {"params", "pmin", "pmax", "stepsize", "PTinit", "uniform",
 _STRLIST_KEYS = {"parnames", "molfit", "filters", "csfile"}
 _BOOL_KEYS = {"log", "COswap", "leastsq", "chisqscale", "grtest", "grexit",
               "plots", "quiet", "ebalance", "shareOpacity", "savefiles",
-              "transparent", "wlike", "mpi", "rtfold", "rtadapt"}
+              "transparent", "wlike", "mpi", "rtfold", "rtadapt",
+              "foldtable16"}
 _INT_KEYS = {"n_layers", "numit", "nchains", "burnin", "thinning",
              "modelper", "maxiter", "seed", "tauiso", "taulevel",
              "modlevel", "verb", "rtosamp", "osamp", "nquad", "z_thin"}

@@ -428,6 +428,7 @@ class Pipeline:
             nwidth=cfg.nwidth,
             fold_osamp=cfg.fold_K,
             fold_adapt=(0.02 if cfg.rtadapt else None),
+            fold_bf16=cfg.foldtable16,
         )
         if cfg.fold_K > 1:
             self.log(f"folded rtosamp: {cfg.fold_K} sub-samples per "

@@ -126,6 +126,7 @@ class ForwardModel:
         osamp: int = 1,
         fold_osamp: int = 1,
         fold_adapt: float | None = 0.02,
+        fold_bf16: bool = False,
         dtype=jnp.float32,
     ):
         self.config = config
@@ -140,6 +141,15 @@ class ForwardModel:
         # folded_fine_grid and streamed sub-sample-major through the
         # kernels, which emit bin-averaged (after exp) output spectra.
         self.fold = int(fold_osamp)
+        # bf16-stored fine tables (production knob, cfg `foldtable16`):
+        # the folded fills run at Precision.DEFAULT, which rounds f32
+        # operands to bf16 per dot anyway — storing the K-times-fine
+        # table in bf16 is numerically near-equivalent ON TPU while
+        # halving its HBM residency, host->device upload, and stream
+        # bytes (measured: docs/PERFORMANCE.md).  Only the fine sigmak/
+        # frowsk tables are affected; the bin-mean (smooth/diagnostic)
+        # tables and the K=1 reference-parity path stay f32/HIGHEST.
+        self.fold_bf16 = bool(fold_bf16) and self.fold > 1
         # static adaptive-resolution split (set in the fold branch)
         self._idx_fine = self._idx_smooth = None
         self.wndelt = float(wn_grid[1] - wn_grid[0]) if len(wn_grid) > 1 else 1.0
@@ -255,10 +265,11 @@ class ForwardModel:
                     if mask.any() and not mask.all():
                         self._idx_fine = np.where(mask)[0]
                         self._idx_smooth = np.where(~mask)[0]
+                k_dt = jnp.bfloat16 if self.fold_bf16 else None
                 if self._idx_fine is not None:
                     idx_f = self._idx_fine
                     idx_s = self._idx_smooth
-                    t["sigmak"] = jnp.asarray(sigk[..., idx_f])
+                    t["sigmak"] = jnp.asarray(sigk[..., idx_f], k_dt)
                     t["sigmas"] = jnp.asarray(
                         sigbar.reshape(M * nT, nL_, Wout)[..., idx_s])
                     t["wn_f"] = jnp.asarray(wn_grid, dtype)[
@@ -267,7 +278,7 @@ class ForwardModel:
                         jnp.asarray(idx_s)]
                 else:
                     # sub-sample-major hot-loop layout [K, M*nT, L, Wout]
-                    t["sigmak"] = jnp.asarray(sigk)
+                    t["sigmak"] = jnp.asarray(sigk, k_dt)
             else:
                 t["sigma"] = opacity.sigma.astype(dtype)
             opac_species = opacity.species
@@ -366,15 +377,17 @@ class ForwardModel:
                     from bart_tpu.rt.fused import fold_table
 
                     frowsk = fold_table(frows, self.fold)
+                    k_dt = jnp.bfloat16 if self.fold_bf16 else frows.dtype
                     if getattr(self, "_idx_fine", None) is not None:
                         # continuum rows are smooth by construction
                         # (CIA/Rayleigh/cloud vary over >> 1 bin), but
                         # their columns must follow the bin split
-                        t["frowsk"] = frowsk[..., jnp.asarray(self._idx_fine)]
+                        t["frowsk"] = frowsk[
+                            ..., jnp.asarray(self._idx_fine)].astype(k_dt)
                         t["frowss"] = jnp.mean(frowsk, axis=0)[
                             ..., jnp.asarray(self._idx_smooth)]
                     else:
-                        t["frowsk"] = frowsk
+                        t["frowsk"] = frowsk.astype(k_dt)
                 else:
                     t["frows"] = frows
 

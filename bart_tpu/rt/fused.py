@@ -564,8 +564,14 @@ def _fkernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
             acc = acc + wmu_ref[0, q] * jnp.exp(-tau_c * minv_ref[0, q])
         return acc
 
+    # bf16-stored fold tables (ForwardModel fold_bf16): cast the
+    # weight rows to the table dtype so the dot runs bf16 x bf16 ->
+    # f32 — numerically what Precision.DEFAULT already does to f32
+    # operands, with half the table stream/residency
+    tdt = tab_ref.dtype
+
     ext0 = jax.lax.dot_general(
-        wnm_ref[0], tab_ref[0, 0],
+        wnm_ref[0].astype(tdt), tab_ref[0, 0],
         (((1,), (0,)), ((), ())),
         precision=_FOLD_PRECISION,
         preferred_element_type=jnp.float32,
@@ -594,7 +600,7 @@ def _fkernel(tab_ref, wnm_ref, aux_ref, wn_ref, minv_ref, wmu_ref,
         s_list = []
         for u in range(U):
             ext_l = jax.lax.dot_general(
-                wnm_c[u], tab_c[u],
+                wnm_c[u].astype(tdt), tab_c[u],
                 (((1,), (0,)), ((), ())),
                 precision=_FOLD_PRECISION,
                 preferred_element_type=jnp.float32,
@@ -663,7 +669,10 @@ def _fpallas_batch(tabk, wn_out, mu, muw, wrows, T, drp, powers=False):
         cb //= 2
     w_pad = -(-W // tile) * tile
     c_pad = -(-C // cb) * cb
-    tab_t = jnp.pad(jnp.transpose(tabk.astype(f32), (0, 2, 1, 3)),
+    # a bf16-stored table (fold_bf16) streams as-is — casting to f32
+    # here would double both the HBM residency and the stream bytes
+    tab_f = tabk if tabk.dtype == jnp.bfloat16 else tabk.astype(f32)
+    tab_t = jnp.pad(jnp.transpose(tab_f, (0, 2, 1, 3)),
                     ((0, 0), (0, Lp - L), (0, 0), (0, w_pad - W)))
     wn_p = jnp.pad(wn_out.astype(f32), (0, w_pad - W), constant_values=1.0)
     wnm_t = jnp.pad(jnp.transpose(wrows.astype(f32), (1, 0, 2)),
@@ -784,7 +793,9 @@ def _ftkernel(tab_ref, wnm_ref, g_ref, wgt_ref, out_ref, ext_scr,
 
     def fill(c, _):
         base = c * U
-        wnm_c = wnm_ref[pl.ds(base, U)]                       # [U, cb, R]
+        # cast weight rows to the table dtype (bf16-stored fold
+        # tables, see _fkernel note)
+        wnm_c = wnm_ref[pl.ds(base, U)].astype(tab_ref.dtype)  # [U, cb, R]
         tab_c = tab_ref[0, pl.ds(base, U)]                    # [U, R, tile]
         ext_c = jax.lax.dot_general(
             wnm_c, tab_c,
@@ -846,7 +857,8 @@ def _ftpallas_batch(tabk, wrows, G, wgt):
         cb //= 2
     w_pad = -(-W // tile) * tile
     c_pad = -(-C // cb) * cb
-    tab_t = jnp.pad(jnp.transpose(tabk.astype(f32), (0, 2, 1, 3)),
+    tab_f = tabk if tabk.dtype == jnp.bfloat16 else tabk.astype(f32)
+    tab_t = jnp.pad(jnp.transpose(tab_f, (0, 2, 1, 3)),
                     ((0, 0), (0, Lp - L), (0, 0), (0, w_pad - W)))
     wnm_t = jnp.pad(jnp.transpose(wrows.astype(f32), (1, 0, 2)),
                     ((0, Lp - L), (0, c_pad - C), (0, 0)))

@@ -536,3 +536,68 @@ def test_forward_model_fused_transit_parity():
     band_b, spec_b, valid_b = fm.batched()(batch)
     np.testing.assert_allclose(np.asarray(spec_b[0]), np.asarray(spec),
                                rtol=1e-6)
+
+
+def test_forward_model_fold_bf16_tables():
+    """fold_bf16 stores the fine tables in bfloat16 (the production
+    memory/upload knob) and changes band fluxes only at the level of
+    bf16 table rounding — which the TPU's DEFAULT-precision fills
+    apply to f32 tables anyway.  Bound measured on CPU where the f32
+    model is exact (TPU f32-vs-bf16-table difference is smaller)."""
+    from bart_tpu.io.kurucz import blackbody_star
+    from bart_tpu.io.tep import PlanetSystem
+    from bart_tpu.linelist.tli import synthetic_linelist
+    from bart_tpu.obs.bands import build_band_matrix
+    from bart_tpu.opacity.grid import build_opacity_grid
+    from bart_tpu.rt.forward import ForwardConfig, ForwardModel
+    from bart_tpu.utils.grids import folded_fine_grid, pressure_grid, \
+        wavenumber_grid
+
+    K = 4
+    pressure = pressure_grid(12, 1e-5, 100.0)
+    wn_out = wavenumber_grid(wnlow=2500.0, wnhigh=2563.0, wndelt=1.0)
+    wn_fine = folded_fine_grid(wn_out, K)
+    system = PlanetSystem(6075.0, 7.97e8, 4.37, 7.05e9, 9.44e7, 1.32e27)
+    lines = synthetic_linelist("CH4", 2495.0, 2560.0, 80, seed=5)
+    grid = build_opacity_grid(
+        {"CH4": lines}, wn_fine, np.arange(400.0, 3001.0, 650.0),
+        pressure, nwidth=5.0,
+    )
+    centers = np.linspace(wn_out[6], wn_out[-7], 4)
+    filters = [(np.linspace(c - 6, c + 6, 25), np.ones(25))
+               for c in centers]
+    sp = ["H2", "He", "CH4"]
+    q0 = np.tile([0.85, 0.149, 1e-3], (len(pressure), 1))
+    sf_out, _ = blackbody_star(wn_out, system.t_star)
+    b_out = build_band_matrix(wn_out, filters, star_flux=sf_out,
+                              rprs=system.rprs)
+    fc = ForwardConfig(solution="eclipse", pt_type="line", molfit=("CH4",))
+    kw = dict(pressure=pressure, species=sp, base_abundances=q0,
+              opacity=grid, system=system, wn_grid=wn_out, bands=b_out,
+              fold_osamp=K, fold_adapt=None)
+    fm32 = ForwardModel(fc, **kw)
+    fm16 = ForwardModel(fc, fold_bf16=True, **kw)
+    assert fm16.tables["sigmak"].dtype == jnp.bfloat16
+    assert fm32.tables["sigmak"].dtype == jnp.float32
+    # half the bytes on the fine table
+    assert fm16.tables["sigmak"].nbytes * 2 == fm32.tables["sigmak"].nbytes
+
+    p = jnp.asarray([-2.0, 0.0, 1.0, 0.0, 0.98, -1.0], fm32.dtype)
+    bf32, s32, ok32 = fm32.jitted()(p)
+    bf16, s16, ok16 = fm16.jitted()(p)
+    assert bool(ok32) and bool(ok16)
+    # band fluxes: bf16 table rounding integrates out (measured
+    # ~2e-4 max here); spectra carry the pointwise rounding
+    np.testing.assert_allclose(np.asarray(bf16), np.asarray(bf32),
+                               rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(s16), np.asarray(s32),
+                               rtol=3e-2)
+
+    # config plumbing: the foldtable16 key parses
+    from bart_tpu.driver.config import load_config
+    import os as _os
+
+    demo = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "examples", "demo_eclipse.cfg")
+    cfg = load_config(demo, {"foldtable16": "True", "rtosamp": "4"})
+    assert cfg.foldtable16 is True
