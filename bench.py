@@ -154,9 +154,14 @@ def _extras(ge, jax, fm, params, nchain, nlines, nrep, dt, on_tpu):
                 print(f"# folded {geom} skipped: {_left():.0f}s left "
                       f"in budget", file=sys.stderr)
                 break
+            # fold_bf16: the production storage knob — BITWISE-equal
+            # kernel outputs on TPU (the folded fills' DEFAULT
+            # precision rounds f32 operands to the same bf16 values)
+            # with half the table stream (docs/PERFORMANCE.md)
             fmf = ge._build_problem(
                 nlayer=NLAYER, nwave=NWAVE, nlines=nlines, cache=True,
-                fold=32, fold_adapt=adapt, quadrature=quad, solution=geom)
+                fold=32, fold_adapt=adapt, quadrature=quad, solution=geom,
+                fold_bf16=True)
             frac = (len(fmf._idx_fine) / NWAVE
                     if getattr(fmf, "_idx_fine", None) is not None else 1.0)
             pf = params if geom == "eclipse" else jnp.asarray(
