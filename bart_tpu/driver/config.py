@@ -117,6 +117,7 @@ class RetrievalConfig:
                           # appends (gamma, sigma_r, sigma_w) to params
     grtest: bool = True
     grexit: bool = False
+    grbreak: float = 1.01        # split-R-hat threshold for grexit
     seed: int = 0
     # snooker-walk tuning (bart_tpu extensions; defaults = the
     # round-5 WASP-12b ESS/s sweep optimum, examples/sampler_sweep.py)
@@ -263,7 +264,7 @@ _FLOAT_KEYS = {"p_top", "p_bottom", "solar_times", "refpress", "cloudtop",
                "wnhigh", "wndelt", "wnosamp", "wnfct", "toomuch", "ethresh",
                "nwidth", "tlow", "thigh", "tempdelt", "cloudfct", "cloudext",
                "radlow", "radhigh", "raddelt", "radfct", "allowq", "starrad",
-               "gsurf", "refradius", "snooker_frac"}
+               "gsurf", "refradius", "snooker_frac", "grbreak"}
 
 
 def load_config(path: str | None = None, overrides: dict | None = None

@@ -445,7 +445,7 @@ class Pipeline:
             like, space,
             nchains=cfg.nchains, numit=cfg.numit, burnin=cfg.burnin,
             walk=cfg.walk, thinning=cfg.thinning,
-            grtest=cfg.grtest, grexit=cfg.grexit,
+            grtest=cfg.grtest, grexit=cfg.grexit, grbreak=cfg.grbreak,
             leastsq=cfg.leastsq, chisqscale=cfg.chisqscale,
             seed=cfg.seed,
             snooker_frac=cfg.snooker_frac, z_thin=cfg.z_thin,
