@@ -601,3 +601,69 @@ def test_forward_model_fold_bf16_tables():
         _os.path.abspath(__file__))), "examples", "demo_eclipse.cfg")
     cfg = load_config(demo, {"foldtable16": "True", "rtosamp": "4"})
     assert cfg.foldtable16 is True
+
+
+def test_fold_bf16_with_adaptive_split():
+    """fold_bf16 + fold_adapt combine: fine tables (sigmak/frowsk) go
+    bf16, smooth bin-mean tables (sigmas/frowss) STAY f32 (they feed
+    the K=1 HIGHEST-precision path), and the forward model runs — the
+    combination the accuracy-mode WASP regression exercises on TPU
+    (fine-bin fraction 0.838 there)."""
+    from bart_tpu.io.kurucz import blackbody_star
+    from bart_tpu.io.tep import PlanetSystem
+    from bart_tpu.linelist.tli import synthetic_linelist
+    from bart_tpu.obs.bands import build_band_matrix
+    from bart_tpu.opacity.cia import CiaTable
+    from bart_tpu.opacity.grid import build_opacity_grid
+    from bart_tpu.rt.forward import ForwardConfig, ForwardModel
+    from bart_tpu.utils.grids import folded_fine_grid, pressure_grid, \
+        wavenumber_grid
+
+    K = 4
+    pressure = pressure_grid(12, 1e-5, 100.0)
+    wn_out = wavenumber_grid(wnlow=2500.0, wnhigh=2563.0, wndelt=1.0)
+    wn_fine = folded_fine_grid(wn_out, K)
+    system = PlanetSystem(6075.0, 7.97e8, 4.37, 7.05e9, 9.44e7, 1.32e27)
+    # clustered lines -> some smooth bins survive for the split
+    lines = synthetic_linelist("CH4", 2495.0, 2515.0, 60, seed=3,
+                               band_centers=(2505.0,))
+    grid = build_opacity_grid(
+        {"CH4": lines}, wn_fine, np.arange(400.0, 3001.0, 650.0),
+        pressure, nwidth=5.0,
+    )
+    temps = np.arange(400.0, 3001.0, 400.0)
+    cwn = np.linspace(2000.0, 3000.0, 60)
+    cia = CiaTable(("H2", "H2"), temps, cwn,
+                   1e-7 * (temps[:, None] / 1000.0) ** 1.5
+                   * np.ones((len(temps), 60)))
+    centers = np.linspace(wn_out[6], wn_out[-7], 4)
+    filters = [(np.linspace(c - 6, c + 6, 25), np.ones(25))
+               for c in centers]
+    sp = ["H2", "He", "CH4"]
+    q0 = np.tile([0.85, 0.149, 1e-3], (len(pressure), 1))
+    sf_out, _ = blackbody_star(wn_out, system.t_star)
+    b_out = build_band_matrix(wn_out, filters, star_flux=sf_out,
+                              rprs=system.rprs)
+    fc = ForwardConfig(solution="eclipse", pt_type="line", molfit=("CH4",))
+    kw = dict(pressure=pressure, species=sp, base_abundances=q0,
+              opacity=grid, system=system, wn_grid=wn_out, bands=b_out,
+              cia_tables=[cia], fold_osamp=K, fold_adapt=0.02)
+    fm16 = ForwardModel(fc, fold_bf16=True, **kw)
+    t = fm16.tables
+    assert fm16._idx_fine is not None, "split did not activate"
+    assert t["sigmak"].dtype == jnp.bfloat16
+    assert t["frowsk"].dtype == jnp.bfloat16
+    assert t["sigmas"].dtype == jnp.float32
+    assert t["frowss"].dtype == jnp.float32
+
+    fm32 = ForwardModel(fc, **kw)
+    p = jnp.asarray([-2.0, 0.0, 1.0, 0.0, 0.98, -1.0], fm32.dtype)
+    bf16_, s16, ok16 = fm16.jitted()(p)
+    bf32_, s32, ok32 = fm32.jitted()(p)
+    assert bool(ok16) and bool(ok32)
+    np.testing.assert_allclose(np.asarray(bf16_), np.asarray(bf32_),
+                               rtol=2e-3)
+    # smooth bins are untouched by the bf16 fine tables
+    sm = fm16._idx_smooth
+    np.testing.assert_allclose(np.asarray(s16)[sm], np.asarray(s32)[sm],
+                               rtol=1e-6)
