@@ -100,3 +100,11 @@ def test_demo_scale_sampler_block_has_one_collective_per_eval():
         (wn_ops if len(group) == 4 else chain_ops).append(op)
     assert wn_ops.count("all-reduce") == len(wn_ops) >= 1, wn_ops
     assert all(op == "all-gather" for op in chain_ops), chain_ops
+
+
+def test_folded_shard_check_2x4():
+    """Folded (rtosamp) mode with the bf16 production tables: the fine
+    table shards along the output-wn axis, the fold contraction stays
+    shard-local, and the hot loop keeps exactly one collective
+    (__graft_entry__.folded_shard_check's claims, in the CI tier)."""
+    graft.folded_shard_check(make_mesh(n_chain=2, n_wn=4))
