@@ -311,3 +311,24 @@ def test_sampler_knob_keys_parse_and_reach_sampler():
     finally:
         rtv.EnsembleSampler = saved
     assert captured == {"snooker_frac": 0.25, "z_thin": 7}
+
+
+def test_accuracy_mode_cfg_parses():
+    """The committed publication-accuracy cfg (the --fold regression's
+    input) keeps its knobs: rtosamp=32 folded, expsum quadrature,
+    bf16 tables, numit >= 1e5, and pinned 4-band data."""
+    from bart_tpu.driver.config import load_config, load_data_array
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples",
+        "wasp12b_eclipse_fold.cfg")
+    cfg = load_config(path)
+    assert cfg.rtosamp == 32 and cfg.rtfold
+    assert cfg.fold_K == 32
+    assert cfg.foldtable16 is True
+    assert cfg.quadrature == "expsum"
+    assert cfg.numit >= 100000
+    data = load_data_array(cfg.data)
+    uncert = load_data_array(cfg.uncert)
+    assert len(data) == 4 and len(uncert) == 4
+    np.testing.assert_allclose(uncert, 0.025 * data, rtol=1e-4)
