@@ -69,7 +69,7 @@ def main(argv=None):
 
         make_demo_inputs.main(os.path.join(REPO, "examples", "demo_inputs"))
 
-    from bart_tpu.driver.config import load_config, load_data_array
+    from bart_tpu.driver.config import load_config
     from bart_tpu.driver.pipeline import Pipeline
     from bart_tpu.inference.retrieval import run_mcmc
 
