@@ -576,3 +576,36 @@ def test_titanium_dioxide_low_t_carrier():
     # dioxide fractions decline monotonically with T
     assert np.all(np.diff(d["TiO2"] / ti) < 0)
     assert np.all(np.diff(d["VO2"] / v) < 0)
+
+
+def test_thermo_registry_integrity():
+    """Structural invariants of the computed-thermo registry: positive
+    masses, ground state at E=0 with positive degeneracy, strictly
+    increasing electronic levels, positive vibrational/rotational
+    constants, polyatomics declare either a nonlinear (A,B,C) top or a
+    linear B, and g/RT evaluates finite over the full T range for
+    every species."""
+    from bart_tpu.chem.thermo_species import EXTRA_SPECIES, g_rt
+
+    T = np.linspace(200.0, 6000.0, 30)
+    for name, st in EXTRA_SPECIES.items():
+        assert st.mass > 0, name
+        Es = [e for e, _ in st.levels]
+        gs = [g for _, g in st.levels]
+        assert Es[0] == 0.0 and all(g > 0 for g in gs), name
+        assert all(b > a for a, b in zip(Es, Es[1:])), name
+        assert st.sigma >= 1, name
+        if st.omega is not None:                  # diatomic
+            assert st.B and st.B > 0 and st.omega > 0, name
+            assert st.omega - 2 * st.wexe > 0, name
+            assert not st.omegas, name
+        if st.omegas:                             # polyatomic
+            assert st.omega is None, name
+            assert all(w > 0 for w in st.omegas), name
+            if st.rot_abc is not None:
+                assert len(st.rot_abc) == 3, name
+                assert all(c > 0 for c in st.rot_abc), name
+            else:
+                assert st.B and st.B > 0, name
+        g = g_rt(st, T)
+        assert np.all(np.isfinite(g)), name
